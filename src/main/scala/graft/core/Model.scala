@@ -1,0 +1,87 @@
+package graft.core
+
+import java.sql.Timestamp
+
+/** Core data model for the Spark-native crawl engine.
+  *
+  * Mirrors the reference's queue-row semantics (jaitl/cloud-crawler:
+  * `master/src/main/scala/.../queue/provider/MongoQueueTaskProvider.scala:151-159`,
+  * `master-client/src/main/protobuf/task.proto:7-17`) re-expressed as typed
+  * Spark Datasets. See /root/repo/SURVEY.md §1.4.
+  */
+object TaskStatus {
+  // Exact literals from the reference
+  // (`master/.../queue/provider/TaskStatus.scala:3-10`).
+  val Wait = "taskWait"
+  val InProgress = "taskInProgress"
+  val Finished = "taskFinished"
+  val Failed = "taskFailed"
+  val Skipped = "taskSkipped"
+  val ParsingFailed = "taskParsingFailed"
+}
+
+/** Fetch-outcome taxonomy, from the reference's exception taxonomy
+  * (`worker/.../pipeline/ResourceHelper.scala:10-28`). */
+object Outcome {
+  val Success = "success"          // 200 + parse ok
+  val NotFound = "notFound"        // PageNotFoundException → taskSkipped
+  val Banned = "banned"            // BotBannedException → dropped + host backoff
+  val IoFailed = "ioFailed"        // IOException → requeue, NO attempt increment
+  val ParsingFailed = "parsingFailed" // ParsingException → taskParsingFailed
+  val GenericFailed = "genericFailed" // other → attempt+1, taskFailed at cap
+}
+
+/** One frontier entry (the persistent URL-queue row).
+  *
+  * `id` is the monotone discovery sequence — it is the total-order tiebreak
+  * that replaces Mongo ObjectId insertion order, making crawl order a pure
+  * function of the data (SURVEY.md §7.4 risk 1).
+  */
+case class FrontierEntry(
+    id: Long,
+    url: String,
+    urlNorm: String,
+    host: String,
+    status: String,
+    attempt: Int,
+    priority: Int,
+    discoveredRound: Int,
+    lastUpdate: Option[Long] // epoch millis; None = never leased
+)
+
+/** Per-host politeness state (`TorResourceController.scala:80-103` analog):
+  * a host may not be fetched again before `nextFetchTick`. */
+case class HostState(host: String, nextFetchTick: Long, failCount: Int)
+
+/** A page in the Common-Crawl-style corpus (BASELINE.json input_hint). */
+case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+/** One scheduled fetch with its outcome — the engine's per-round output row.
+  * `(round, seq)` is the crawl-order contract checked against the simulator. */
+case class FetchRecord(
+    round: Int,
+    seq: Int,
+    id: Long,
+    urlNorm: String,
+    outcome: String,
+    extractedText: Option[String],
+    nNewLinks: Int
+)
+
+/** Crawl-engine configuration (reference `worker.conf`/`master.conf` knobs). */
+case class CrawlConfig(
+    hostBudgetPerRound: Int = 2,   // per-resource concurrency limit (README.md:38)
+    roundBudget: Int = 1000,       // workerBatchSize analog (configuration.proto:17)
+    maxAttempts: Int = 3,          // worker.conf:30 / master.conf:61
+    politenessCenterTicks: Long = 1L, // RandomTimeout center (RandomTimeout.scala:8-14)
+    politenessRadiusTicks: Long = 1L, // RandomTimeout radius
+    banBackoffTicks: Long = 30L,   // 30 min hardcoded (TorResourceController.scala:115)
+    maxRounds: Int = 64,
+    seed: Long = 42L
+)
