@@ -1,0 +1,40 @@
+package graft.job
+
+import org.apache.spark.sql.SparkSession
+import graft.core.CrawlConfig
+import graft.corpus.{CorpusGen, CorpusTable}
+import graft.frontier.SnapshotStore
+import graft.round.CrawlEngine
+
+/** spark-submit entry for the crawl engine (SURVEY.md §7.1 step 10).
+  *
+  * Usage: CrawlJob <stateDir> [corpusParquet]
+  * Without a corpus path it synthesizes the default test corpus. Re-running
+  * with the same stateDir resumes from the latest committed snapshot —
+  * that is the whole recovery story (F7/F8).
+  */
+object CrawlJob {
+  def main(args: Array[String]): Unit = {
+    val stateDir = if (args.nonEmpty) args(0) else "target/crawl-state"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val spec = CorpusGen.Spec()
+    val corpus =
+      if (args.length > 1) spark.read.parquet(args(1))
+      else CorpusTable.create(spark, spec)
+    val store = new SnapshotStore(stateDir, spark)
+    val t0 = System.nanoTime()
+    val summary = CrawlEngine.crawl(spark, store, corpus, CorpusGen.seeds(spec), CrawlConfig())
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"rounds":${summary.rounds},"versions":${summary.versions},"fetches":${summary.fetches},"frontier":${summary.frontierSize},"sec":$sec%.2f,"urlsPerSec":${summary.fetches / math.max(sec, 1e-9)}%.1f}""")
+    spark.stop()
+  }
+}

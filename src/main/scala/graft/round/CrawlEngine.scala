@@ -1,0 +1,309 @@
+package graft.round
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+import graft.frontier.SnapshotStore
+
+/** The Spark-native crawl engine: URL frontier + politeness-aware fetch
+  * scheduler, one bulk-synchronous round per snapshot commit
+  * (SURVEY.md §3.1 rebuild). Declarative Dataset/Catalyst throughout —
+  * windows for ranking, joins for fetch/dedup, `when` chains for the status
+  * machine; UDFs only at the leaves (normalize/resolve/parse).
+  *
+  * Scale design (north rule: 10^10-URL frontier, 1000 executors):
+  *  - corpus joins are bounded by (new inserts + round selection), never by
+  *    frontier size: `warcTs` is captured ONCE at insert time, so per-round
+  *    ranking never re-touches the corpus; the fetch join runs on ≤
+  *    roundBudget rows.
+  *  - per-host top-k is a two-step salted rank (SURVEY §4.3.1): rank within
+  *    (host, salt) shards first — a 10^7-URL host never lands in a single
+  *    window partition — then a final rank over ≤ salt×k survivors per host.
+  *  - the per-round batch (≤ roundBudget) is the only globally-ordered set;
+  *    the frontier itself is never globally sorted.
+  *  - URL-seen membership is the exact anti-join C2 (bloom shards are a
+  *    pre-filter only, see graft.seen).
+  */
+object CrawlEngine {
+
+  val FetchOrder: Seq[Column] =
+    Seq(col("priority").desc, col("warcTs").asc_nulls_last, col("id").asc)
+
+  case class Parsed(text: Option[String], links: Seq[String])
+
+  private val IoLang = "^xx-io(\\d+)$".r
+
+  // ---- leaf scalar functions (UDFs; candidates for codegen Expressions) ----
+  val normalizeUdf = udf((u: String) =>
+    Option(u).flatMap(UrlNormalizer.normalize).orNull)
+  val resolveUdf = udf((base: String, href: String) =>
+    (for { b <- Option(base); h <- Option(href); r <- UrlNormalizer.resolve(b, h) } yield r).orNull)
+  val hostOfUdf = udf((u: String) => Option(u).map(UrlNormalizer.hostOf).orNull)
+  val surtHostUdf = udf((h: String) => Option(h).map(UrlNormalizer.surtHost).orNull)
+  val pathOfUdf = udf((u: String) => Option(u).map(UrlNormalizer.pathOf).orNull)
+  /** Parse html, keeping only links passing the reference predicate
+    * (HabrParser.scala:22-26) against the parent host. */
+  val parseUdf = udf((html: String, host: String) =>
+    Option(html) match {
+      case None => Parsed(None, Nil)
+      case Some(h) =>
+        val text = HtmlCodec.extractText(h)
+        val links =
+          if (text.isEmpty) Nil
+          else HtmlCodec.extractLinks(h).filter(HtmlCodec.keepLink(_, host))
+        Parsed(text, links)
+    })
+  val ioFailUntilUdf = udf((lang: String) => lang match {
+    case IoLang(n) => n.toInt
+    case _ => 0
+  })
+
+  /** Static per-host robots rules read from the corpus (north-rule H5). */
+  final case class HostRules(rules: Map[String, Robots.Rules]) extends Serializable {
+    def allowed(urlNorm: String): Boolean = {
+      val host = UrlNormalizer.hostOf(urlNorm)
+      rules.get(host).forall(r => Robots.allowed(r, UrlNormalizer.pathOf(urlNorm)))
+    }
+    def crawlDelayTicks(host: String): Long =
+      rules.get(host).flatMap(_.crawlDelay).map(d => math.ceil(d).toLong).getOrElse(0L)
+  }
+
+  /** Normalized corpus projection: the only columns any round ever needs.
+    * At scale this is the Iceberg page table with `html` pruned except in
+    * the fetch join (ReadSchema stays narrow). */
+  def corpusNorm(corpus: DataFrame): DataFrame =
+    corpus.select(
+      normalizeUdf(col("url")).as("urlNorm"),
+      unix_micros(col("warc_ts")).as("warcTs"),
+      col("html").cast("string").as("htmlStr"),
+      col("lang"))
+      .filter(col("urlNorm").isNotNull)
+
+  def loadHostRules(spark: SparkSession, corpusN: DataFrame): HostRules = {
+    val robotsRows = corpusN
+      .filter(pathOfUdf(col("urlNorm")) === "/robots.txt")
+      .select(hostOfUdf(col("urlNorm")).as("host"),
+        parseUdf(col("htmlStr"), lit("")).getField("text").as("body"))
+      .collect()
+    HostRules(robotsRows.map(r => r.getString(0) -> Robots.parse(r.getString(1))).toMap)
+  }
+
+  /** Bootstrap snapshot v=0 from a seed list. */
+  def bootstrap(
+      spark: SparkSession,
+      store: SnapshotStore,
+      corpusN: DataFrame,
+      hostRules: HostRules,
+      seeds: Seq[(String, Int)]): Unit = {
+    import spark.implicits._
+    // seeds are tiny and ordered: normalize + first-occurrence dedup driver-side
+    val seen = scala.collection.mutable.Set.empty[String]
+    val rows = seeds.flatMap { case (raw, prio) =>
+      UrlNormalizer.normalize(raw).filter(seen.add).map { n =>
+        val host = UrlNormalizer.hostOf(n)
+        val status = if (hostRules.allowed(n)) TaskStatus.Wait else TaskStatus.Skipped
+        (raw, n, host, status, prio)
+      }
+    }.zipWithIndex.map { case ((raw, n, host, status, prio), i) =>
+      (i.toLong, raw, n, host, status, 0, prio, 0)
+    }
+    val seedDf = rows.toDF("id", "url", "urlNorm", "host", "status", "attempt", "priority", "discoveredRound")
+    val frontier0 = seedDf
+      .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
+      .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
+        col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
+    val hosts0 = Seq.empty[(String, Long)].toDF("host", "nextTick")
+    store.commit(0, frontier0, hosts0, None,
+      Map("nextRound" -> "0", "nextId" -> rows.size.toString))
+  }
+
+  final case class RoundOutcome(selectedCount: Long, newLinkCount: Long)
+
+  /** One crawl round (§3.1 rebuild): gate → rank → cut → fetch-join →
+    * classify → commit. Returns None if nothing was eligible (caller jumps
+    * the round counter). */
+  def runRound(
+      spark: SparkSession,
+      store: SnapshotStore,
+      corpusN: DataFrame,
+      hostRules: HostRules,
+      cfg: CrawlConfig,
+      version: Int, // previous committed snapshot
+      round: Int,
+      nextId: Long): Option[RoundOutcome] = {
+    import spark.implicits._
+
+    val frontier = store.readFrontier(version)
+    val hosts = store.readHosts(version)
+    val rulesB = spark.sparkContext.broadcast(hostRules)
+    val robotsAllowedUdf = udf((u: String) => rulesB.value.allowed(u))
+    val reopenTickUdf = udf((host: String, banned: Boolean, r: Int) =>
+      r + 1 + (if (banned) cfg.banBackoffTicks
+               else math.max(
+                 Det.politenessDelay(host, r, cfg.politenessCenterTicks, cfg.politenessRadiusTicks),
+                 rulesB.value.crawlDelayTicks(host))))
+
+    // B1 + F1: wait-status rows on open hosts
+    val eligible = frontier
+      .filter(col("status") === TaskStatus.Wait)
+      .join(hosts, Seq("host"), "left")
+      .filter(coalesce(col("nextTick"), lit(0L)) <= round)
+      .drop("nextTick")
+
+    // R1 two-step salted per-host rank (skew-proof top-k)
+    val salts = 8
+    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(FetchOrder: _*)
+    val w2 = Window.partitionBy(col("host")).orderBy(FetchOrder: _*)
+    val perHost = eligible
+      .withColumn("salt", pmod(xxhash64(col("urlNorm")), lit(salts)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= cfg.hostBudgetPerRound)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= cfg.hostBudgetPerRound)
+      .drop("salt", "r1", "r2")
+
+    // R2 global cut: TakeOrderedAndProject (never a full frontier sort),
+    // then seq over the ≤ roundBudget selected rows only.
+    val selected = perHost.orderBy(FetchOrder: _*).limit(cfg.roundBudget)
+      .withColumn("seq", row_number().over(Window.orderBy(FetchOrder: _*)))
+
+    // C4 fetch join (bounded by roundBudget) + G1 outcome taxonomy
+    val fetched = selected
+      .join(corpusN.select("urlNorm", "htmlStr", "lang"), Seq("urlNorm"), "left")
+      .withColumn("parsed", parseUdf(col("htmlStr"), col("host")))
+      .withColumn("ioUntil", ioFailUntilUdf(col("lang")))
+      .withColumn("outcome",
+        when(col("htmlStr").isNull, Outcome.NotFound)
+          .when(col("lang") === "xx-ban", Outcome.Banned)
+          .when(col("ioUntil") > round, Outcome.IoFailed)
+          .when(col("lang") === "xx-gen", Outcome.GenericFailed)
+          .when(col("parsed.text").isNull, Outcome.ParsingFailed)
+          .otherwise(Outcome.Success))
+      .persist()
+
+    val selectedCount = fetched.count()
+    if (selectedCount == 0) { fetched.unpersist(); return None }
+
+    // fetch records (the crawl-order contract surface)
+    val records = fetched.select(
+      lit(round).as("round"), col("seq"), col("id"), col("urlNorm"),
+      col("outcome"), col("parsed.text").as("extractedText"),
+      when(col("outcome") === Outcome.Success, size(col("parsed.links")))
+        .otherwise(lit(0)).cast("int").as("nNewLinks"))
+
+    // D5/H2: discovered links in (seq, pos) order → resolve → in-round dedup
+    // (first occurrence) → C2 exact anti-join vs the whole frontier
+    val discovered = fetched
+      .filter(col("outcome") === Outcome.Success)
+      .select(col("seq"), col("urlNorm").as("parentUrl"),
+        posexplode(col("parsed.links")).as(Seq("pos", "href")))
+      .withColumn("newNorm", resolveUdf(col("parentUrl"), col("href")))
+      .filter(col("newNorm").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("newNorm")).orderBy(col("seq"), col("pos"))))
+      .filter(col("rn") === 1)
+      .join(frontier.select(col("urlNorm").as("newNorm")), Seq("newNorm"), "left_anti")
+      .withColumn("idx", row_number().over(Window.orderBy(col("seq"), col("pos"))))
+      .select(
+        (col("idx").cast("long") + lit(nextId - 1)).as("id"),
+        col("newNorm").as("url"), col("newNorm").as("urlNorm"),
+        hostOfUdf(col("newNorm")).as("host"),
+        when(robotsAllowedUdf(col("newNorm")), TaskStatus.Wait)
+          .otherwise(TaskStatus.Skipped).as("status"),
+        lit(0).as("attempt"), lit(0).as("priority"),
+        lit(round + 1).as("discoveredRound"))
+      .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
+      .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
+        col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
+      .persist()
+    val newLinkCount = discovered.count()
+
+    // G2/G3 + D1: status machine applied via broadcast join on id
+    val outcomes = fetched.select(col("id"), col("outcome"))
+    val updated = frontier
+      .join(broadcast(outcomes), Seq("id"), "left")
+      .withColumn("newAttempt",
+        when(col("outcome") === Outcome.GenericFailed, col("attempt") + 1)
+          .otherwise(col("attempt")))
+      .withColumn("newStatus",
+        when(col("outcome").isNull, col("status"))
+          .when(col("outcome").isin(Outcome.Success, Outcome.Banned), TaskStatus.Finished)
+          .when(col("outcome") === Outcome.NotFound, TaskStatus.Skipped)
+          .when(col("outcome") === Outcome.ParsingFailed, TaskStatus.ParsingFailed)
+          .when(col("outcome") === Outcome.IoFailed, TaskStatus.Wait)
+          .when(col("outcome") === Outcome.GenericFailed,
+            when(col("newAttempt") >= cfg.maxAttempts, TaskStatus.Failed)
+              .otherwise(TaskStatus.Wait))
+          .otherwise(col("status")))
+      .select(col("id"), col("url"), col("urlNorm"), col("host"),
+        col("newStatus").as("status"), col("newAttempt").cast("int").as("attempt"),
+        col("priority"), col("warcTs"), col("discoveredRound"))
+
+    val frontier2 = updated.unionByName(discovered)
+
+    // F2/F3 host-state rewrite
+    val hostUpdates = fetched.groupBy(col("host"))
+      .agg(max(when(col("outcome") === Outcome.Banned, 1).otherwise(0)).as("bannedFlag"))
+      .withColumn("newTick", reopenTickUdf(col("host"), col("bannedFlag") === 1, lit(round)))
+      .select(col("host"), col("newTick"))
+    val hosts2 = hosts.join(hostUpdates, Seq("host"), "full_outer")
+      .select(col("host"), coalesce(col("newTick"), col("nextTick")).as("nextTick"))
+
+    store.commit(version + 1, frontier2, hosts2, Some(records),
+      Map("nextRound" -> (round + 1).toString,
+        "round" -> round.toString,
+        "nextId" -> (nextId + newLinkCount).toString,
+        "selected" -> selectedCount.toString,
+        "newLinks" -> newLinkCount.toString))
+    fetched.unpersist()
+    discovered.unpersist()
+    Some(RoundOutcome(selectedCount, newLinkCount))
+  }
+
+  final case class CrawlSummary(rounds: Int, versions: Int, fetches: Long, frontierSize: Long)
+
+  /** Driver loop: resume from the latest committed snapshot (or bootstrap),
+    * then run rounds until no wait-state rows remain (or maxRounds). */
+  def crawl(
+      spark: SparkSession,
+      store: SnapshotStore,
+      corpus: DataFrame,
+      seeds: Seq[(String, Int)],
+      cfg: CrawlConfig): CrawlSummary = {
+    val corpusN = corpusNorm(corpus).persist()
+    val hostRules = loadHostRules(spark, corpusN)
+    if (store.latestVersion.isEmpty)
+      bootstrap(spark, store, corpusN, hostRules, seeds)
+
+    var version = store.latestVersion.get
+    var meta = store.readMeta(version)
+    var round = meta("nextRound").toInt
+    var nextId = meta("nextId").toLong
+    var fetchTotal = 0L
+    var running = true
+    while (running && round < cfg.maxRounds) {
+      val frontier = store.readFrontier(version)
+      val waits = frontier.filter(col("status") === TaskStatus.Wait)
+      if (waits.isEmpty) running = false
+      else {
+        runRound(spark, store, corpusN, hostRules, cfg, version, round, nextId) match {
+          case Some(out) =>
+            version += 1
+            meta = store.readMeta(version)
+            round = meta("nextRound").toInt
+            nextId = meta("nextId").toLong
+            fetchTotal += out.selectedCount
+          case None =>
+            // nothing eligible: jump to the earliest reopen tick among
+            // hosts that still hold waits (pure function of state)
+            val minNext = waits
+              .join(store.readHosts(version), Seq("host"), "left")
+              .agg(min(coalesce(col("nextTick"), lit(0L)))).head().getLong(0)
+            round = math.max(round + 1, minNext.toInt)
+        }
+      }
+    }
+    val frontierSize = store.readFrontier(version).count()
+    corpusN.unpersist()
+    CrawlSummary(round, version, fetchTotal, frontierSize)
+  }
+}

@@ -1,0 +1,191 @@
+package graft.sim
+
+import scala.collection.mutable
+import graft.core._
+
+/** Clean-room, in-memory reimplementation of the reference crawler's
+  * scheduling semantics (jaitl/cloud-crawler), bulk-synchronous-round form.
+  *
+  * This is the correctness ORACLE (SURVEY.md §5 item 3): the Spark engine's
+  * output sequence `(round, seq, urlNorm, outcome)` must equal this
+  * simulator's output exactly, for the same corpus + seeds + budget. It
+  * transliterates the semantics of the reference actors — lease batch
+  * (`QueueTaskServiceImpl.scala:57-66`), politeness gate
+  * (`TorResourceController.scala:57-103`), outcome taxonomy
+  * (`ResourceHelper.scala:10-28`), retry split
+  * (`QueueTaskServiceImpl.scala:101-115`), link push + dedup
+  * (`SqlQueueTaskProvider.scala:56-78`) — into deterministic rounds.
+  *
+  * Spec (shared with the Spark engine — every draw is seeded, SURVEY §7.4):
+  *  - round r: eligible = status==taskWait && r >= hostNextTick(host)
+  *  - per-host rank by (priority DESC, warc_ts ASC NULLS LAST, id ASC),
+  *    keep top `hostBudget` (north-star window R1)
+  *  - global cut by the same order, keep top `roundBudget`, seq = 1-based
+  *    rank (R2)
+  *  - outcomes: missing page → notFound→taskSkipped; lang "xx-ban" → banned
+  *    → dropped + host parked banBackoff; lang "xx-ioN" → ioFailed while
+  *    r < N → requeued WITHOUT attempt increment (TasksBatchController:163-166);
+  *    lang "xx-gen" → genericFailed → attempt+1, taskFailed at maxAttempts
+  *    (QueueTaskServiceImpl:101-115); malformed html → taskParsingFailed;
+  *    else success → taskFinished + links
+  *  - links: raw hrefs filtered by the reference predicate
+  *    (HabrParser.scala:22-26) against the parent host, resolved + normalized
+  *    (north-star addition), robots-checked at insert, first-occurrence dedup
+  *    against the whole frontier (C2/C3), ids assigned in (seq, pos) order
+  *  - hosts fetched in round r reopen at r + 1 + max(politenessDelay,
+  *    crawl-delay); banned hosts at r + 1 + banBackoff
+  *  - if nothing eligible but waits remain, the round counter jumps to the
+  *    earliest host reopen tick
+  */
+object ReferenceSimulator {
+
+  final case class SimPage(url: String, warcTsMicros: Long, html: String, text: String, lang: String)
+
+  final case class SimEntry(
+      id: Long, url: String, urlNorm: String, host: String,
+      var status: String, var attempt: Int, priority: Int,
+      warcTs: Option[Long], discoveredRound: Int)
+
+  final case class SimFetch(
+      round: Int, seq: Int, id: Long, urlNorm: String, outcome: String,
+      extractedText: Option[String], nNewLinks: Int)
+
+  final case class SimResult(
+      fetches: Vector[SimFetch],
+      frontier: Vector[SimEntry],
+      hostNext: Map[String, Long],
+      rounds: Int)
+
+  private val IoLang = "^xx-io(\\d+)$".r
+
+  def classify(page: Option[SimPage], round: Int): (String, Option[String], Seq[String]) =
+    page match {
+      case None => (Outcome.NotFound, None, Nil)
+      case Some(p) =>
+        p.lang match {
+          case "xx-ban" => (Outcome.Banned, None, Nil)
+          case IoLang(n) if round < n.toInt => (Outcome.IoFailed, None, Nil)
+          case "xx-gen" => (Outcome.GenericFailed, None, Nil)
+          case _ =>
+            HtmlCodec.extractText(p.html) match {
+              case None => (Outcome.ParsingFailed, None, Nil)
+              case Some(t) => (Outcome.Success, Some(t), HtmlCodec.extractLinks(p.html))
+            }
+        }
+    }
+
+  /** Ordering key shared by R1 and R2: priority DESC, warc_ts ASC NULLS
+    * LAST, id ASC. */
+  private def rankLt(a: SimEntry, b: SimEntry): Boolean = {
+    if (a.priority != b.priority) a.priority > b.priority
+    else (a.warcTs, b.warcTs) match {
+      case (Some(x), Some(y)) if x != y => x < y
+      case (Some(_), None) => true
+      case (None, Some(_)) => false
+      case _ => a.id < b.id
+    }
+  }
+
+  def run(
+      corpus: Map[String, SimPage], // keyed by normalized url
+      seeds: Seq[(String, Int)],    // (raw url, priority) in seed order
+      cfg: CrawlConfig): SimResult = {
+
+    // robots rules per host, read statically from the corpus
+    val robots: Map[String, Robots.Rules] = corpus.collect {
+      case (urlNorm, p) if UrlNormalizer.pathOf(urlNorm) == "/robots.txt" =>
+        UrlNormalizer.hostOf(urlNorm) -> Robots.parse(p.text)
+    }
+    def robotsAllowed(host: String, urlNorm: String): Boolean =
+      robots.get(host).forall(r => Robots.allowed(r, UrlNormalizer.pathOf(urlNorm)))
+    def crawlDelayTicks(host: String): Long =
+      robots.get(host).flatMap(_.crawlDelay).map(d => math.ceil(d).toLong).getOrElse(0L)
+
+    val frontier = mutable.LinkedHashMap.empty[String, SimEntry] // urlNorm → entry
+    val hostNext = mutable.Map.empty[String, Long]
+    var nextId = 0L
+
+    def insert(rawUrl: String, priority: Int, round: Int): Unit =
+      UrlNormalizer.normalize(rawUrl).foreach { urlNorm =>
+        if (!frontier.contains(urlNorm)) {
+          val host = UrlNormalizer.hostOf(urlNorm)
+          val status =
+            if (robotsAllowed(host, urlNorm)) TaskStatus.Wait else TaskStatus.Skipped
+          frontier(urlNorm) = SimEntry(
+            nextId, rawUrl, urlNorm, host, status, 0, priority,
+            corpus.get(urlNorm).map(_.warcTsMicros), round)
+          nextId += 1
+        }
+      }
+
+    seeds.foreach { case (u, p) => insert(u, p, 0) }
+
+    val fetches = Vector.newBuilder[SimFetch]
+    var round = 0
+    var done = false
+    while (!done && round < cfg.maxRounds) {
+      val waits = frontier.values.filter(_.status == TaskStatus.Wait).toVector
+      if (waits.isEmpty) done = true
+      else {
+        val eligible = waits.filter(e => round >= hostNext.getOrElse(e.host, 0L))
+        if (eligible.isEmpty) {
+          // jump to the earliest reopen tick among hosts that still have waits
+          val minNext = waits.map(e => hostNext.getOrElse(e.host, 0L)).min
+          round = math.max(round + 1, minNext.toInt)
+        } else {
+          // R1 per-host top-k, then R2 global cut, same order
+          val perHost = eligible.groupBy(_.host).values.flatMap { es =>
+            es.sortWith(rankLt).take(cfg.hostBudgetPerRound)
+          }.toVector
+          val selected = perHost.sortWith(rankLt).take(cfg.roundBudget)
+
+          val bannedHosts = mutable.Set.empty[String]
+          val newLinks = Vector.newBuilder[(String, String)] // (rawHref resolved later) parent info
+          var seq = 0
+          val roundFetches = selected.map { e =>
+            seq += 1
+            val page = corpus.get(e.urlNorm)
+            val (outcome, text, links) = classify(page, round)
+            // status transition (QueueTaskServiceImpl.scala:78-167 semantics)
+            outcome match {
+              case Outcome.Success => e.status = TaskStatus.Finished
+              case Outcome.Banned =>
+                e.status = TaskStatus.Finished // dropped with successes (:80)
+                bannedHosts += e.host
+              case Outcome.NotFound => e.status = TaskStatus.Skipped
+              case Outcome.ParsingFailed => e.status = TaskStatus.ParsingFailed
+              case Outcome.IoFailed => e.status = TaskStatus.Wait // no attempt inc
+              case Outcome.GenericFailed =>
+                e.attempt += 1
+                e.status =
+                  if (e.attempt >= cfg.maxAttempts) TaskStatus.Failed
+                  else TaskStatus.Wait
+            }
+            // link discovery in document order, reference filter on RAW href
+            val kept = links.filter(h => HtmlCodec.keepLink(h, e.host))
+            kept.foreach(h => newLinks += ((e.urlNorm, h)))
+            SimFetch(round, seq, e.id, e.urlNorm, outcome, text, kept.size)
+          }
+          fetches ++= roundFetches
+
+          // push discovered urls (A14 + C2 dedup, first-occurrence order)
+          newLinks.result().foreach { case (parentUrl, href) =>
+            UrlNormalizer.resolve(parentUrl, href).foreach(n => insert(n, 0, round + 1))
+          }
+
+          // politeness: every fetched host parks (F2); banned overrides (F3)
+          selected.map(_.host).distinct.foreach { h =>
+            val delay =
+              if (bannedHosts(h)) cfg.banBackoffTicks
+              else math.max(
+                Det.politenessDelay(h, round, cfg.politenessCenterTicks, cfg.politenessRadiusTicks),
+                crawlDelayTicks(h))
+            hostNext(h) = round + 1 + delay
+          }
+          round += 1
+        }
+      }
+    }
+    SimResult(fetches.result(), frontier.values.toVector, hostNext.toMap, round)
+  }
+}

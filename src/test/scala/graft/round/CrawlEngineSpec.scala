@@ -1,0 +1,102 @@
+package graft.round
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.core._
+import graft.corpus.{CorpusGen, CorpusTable}
+import graft.frontier.SnapshotStore
+import graft.sim.ReferenceSimulator
+
+/** The crawl-order exact-match gate (BASELINE.md): the Spark engine's fetch
+  * sequence (round, seq, urlNorm, outcome) must equal the clean-room
+  * reference simulator's, and extracted text must be byte-identical to the
+  * corpus text column. */
+class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
+
+  private val spec = CorpusGen.Spec()
+  private val cfg = CrawlConfig(hostBudgetPerRound = 2, roundBudget = 12, maxRounds = 40)
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private lazy val simOut =
+    ReferenceSimulator.run(CorpusGen.simCorpus(spec), CorpusGen.seeds(spec), cfg)
+
+  private def engineFetches(stateDir: String): (Seq[(Int, Int, String, String)], Map[String, Option[String]]) = {
+    val store = new SnapshotStore(stateDir, spark)
+    val rows = store.allResults().get
+      .select("round", "seq", "urlNorm", "outcome", "extractedText")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), Option(r.getString(4))))
+      .sortBy(t => (t._1, t._2))
+    (rows.map(t => (t._1, t._2, t._3, t._4)).toSeq,
+      rows.map(t => t._3 -> t._5).toMap)
+  }
+
+  test("engine crawl order matches the reference simulator exactly") {
+    val stateDir = tmpDir("order")
+    val corpus = CorpusTable.create(spark, spec)
+    val summary = CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), cfg)
+    assert(summary.fetches > 0)
+
+    val (engineSeq, _) = engineFetches(stateDir)
+    val simSeq = simOut.fetches.map(f => (f.round, f.seq, f.urlNorm, f.outcome))
+    // compare with context on first divergence for debuggability
+    val diverge = engineSeq.zip(simSeq).indexWhere { case (a, b) => a != b }
+    assert(diverge == -1 && engineSeq.size == simSeq.size,
+      s"diverged at $diverge: engine=${engineSeq.slice(math.max(0, diverge - 2), diverge + 3)} " +
+        s"sim=${simSeq.slice(math.max(0, diverge - 2), diverge + 3)} " +
+        s"sizes=${engineSeq.size}/${simSeq.size}")
+  }
+
+  test("extracted text is byte-identical to the corpus text column") {
+    val stateDir = tmpDir("text")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), cfg)
+    val (fetches, texts) = engineFetches(stateDir)
+    val oracle = CorpusGen.simCorpus(spec)
+    val successes = fetches.filter(_._4 == Outcome.Success)
+    assert(successes.nonEmpty)
+    successes.foreach { case (_, _, urlNorm, _) =>
+      assert(texts(urlNorm) == Some(oracle(urlNorm).text), s"text mismatch for $urlNorm")
+    }
+  }
+
+  test("final frontier statuses match the simulator") {
+    val stateDir = tmpDir("frontier")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), cfg)
+    val store = new SnapshotStore(stateDir, spark)
+    val engineFrontier = store.readFrontier(store.latestVersion.get)
+      .select("urlNorm", "status", "attempt", "id")
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    val simFrontier = simOut.frontier.map(e => e.urlNorm -> ((e.status, e.attempt, e.id))).toMap
+    assert(engineFrontier == simFrontier)
+  }
+
+  test("kill-after-round-k resume produces an identical crawl (F7/F8)") {
+    val full = tmpDir("full"); val resumed = tmpDir("resumed")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(full, spark), corpus, CorpusGen.seeds(spec), cfg)
+
+    // run 1: truncated crawl (kill after 3 rounds via maxRounds)
+    CrawlEngine.crawl(spark, new SnapshotStore(resumed, spark),
+      corpus, CorpusGen.seeds(spec), cfg.copy(maxRounds = 3))
+    // simulate an orphan, uncommitted snapshot left by a crash
+    val store = new SnapshotStore(resumed, spark)
+    val orphanV = store.latestVersion.get + 1
+    store.readFrontier(store.latestVersion.get).limit(1)
+      .write.parquet(s"$resumed/v=$orphanV/frontier")
+    // run 2: resume to completion
+    CrawlEngine.crawl(spark, new SnapshotStore(resumed, spark),
+      corpus, CorpusGen.seeds(spec), cfg)
+
+    val (a, _) = engineFetches(full)
+    val (b, _) = engineFetches(resumed)
+    assert(a == b)
+  }
+}
