@@ -1,24 +1,117 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CrawlConfig
+import graft.corpus.CorpusTable
+import graft.frontier.SnapshotStore
+import graft.operators._
+import graft.round.CrawlEngine
+
+/** Per-round benchmark (driver contract): headline queries on
+  * SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS], one JSON line out.
+  *
+  * Headliners: the crawl engine's frontier-dequeue + fetch-schedule rounds
+  * over a distributed synthetic corpus (the BASELINE.json metric — reported
+  * as urls/sec), plus the scale-critical operator families: minhash-LSH
+  * dedup, brute-force ANN, and the two heaviest relational shapes.
+  */
 object Bench {
+
+  /** Frontier-throughput benchmark: N-page corpus generated distributed
+    * (never on the driver), frontier v0 = every url in wait state, then
+    * `rounds` engine rounds with a large budget. Returns (fetches, sec). */
+  def crawlRounds(spark: SparkSession, stateDir: String, nPages: Long,
+                  nHosts: Int, rounds: Int, roundBudget: Int): (Long, Double) = {
+    import spark.implicits._
+    val corpus = CorpusTable.createLarge(spark, nPages, nHosts)
+    val corpusN = CrawlEngine.corpusNorm(corpus).persist()
+    val store = new SnapshotStore(stateDir, spark)
+    // distributed bootstrap: the whole corpus is the seed frontier.
+    // Bench ids come from monotonically_increasing_id — per-partition
+    // monotone, no global sort (id order parity doesn't matter here).
+    val frontier0 = corpusN.select(
+      monotonically_increasing_id().as("id"),
+      col("urlNorm").as("url"), col("urlNorm"),
+      regexp_extract(col("urlNorm"), "https://([^/]+)/", 1).as("host"),
+      lit(graft.core.TaskStatus.Wait).as("status"),
+      lit(0).as("attempt"), lit(0).as("priority"),
+      col("warcTs"), lit(0).as("discoveredRound"))
+    val hosts0 = Seq.empty[(String, Long)].toDF("host", "nextTick")
+    store.commit(0, frontier0, hosts0, None, Map("nextRound" -> "0", "nextId" -> nPages.toString))
+
+    val cfg = CrawlConfig(
+      hostBudgetPerRound = 64, roundBudget = roundBudget,
+      politenessCenterTicks = 0, politenessRadiusTicks = 0, maxRounds = rounds)
+    val rules = CrawlEngine.HostRules(Map.empty)
+    val t0 = System.nanoTime()
+    var fetched = 0L
+    var v = 0
+    var r = 0
+    while (r < rounds) {
+      CrawlEngine.runRound(spark, store, corpusN, rules, cfg, v, r, nPages + fetched) match {
+        case Some(out) => fetched += out.selectedCount; v += 1
+        case None => r = rounds
+      }
+      r += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    corpusN.unpersist()
+    (fetched, sec)
+  }
+
+  def timed(f: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n = f
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def t(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    val cases: Seq[(String, () => Long)] = Seq(
+      "q1_pricing" -> (() => CrawlOps.pricingSummary(t("lineitem")).count()),
+      "topk_revenue" -> (() => CrawlOps.revenueByNation(
+        t("customer"), t("orders"), t("lineitem"), t("nation")).count()),
+      "dedup_exact" -> (() => Dedup.exact(t("documents")).count()),
+      "dedup_minhash_lsh" -> (() => Dedup.minhashLsh(t("documents")).count()),
+      "dedup_simhash" -> (() => Dedup.simhashPairs(t("documents")).count()),
+      "ann_brute_topk" -> (() => Similarity.bruteForceTopK(t("embeddings")).count()),
+      "text_pipeline" -> (() => TextAnalysis.quality(t("documents"))
+        .join(TextAnalysis.langId(t("documents")), "doc_id").count()),
+      "sessionize" -> (() => CrawlOps.sessionize(t("events")).count())
+    )
+    cases.foreach { case (name, f) =>
+      val (_, sec) = timed(f())
+      results(name) = sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // crawl benchmark LAST: its snapshot churn + broadcasts degrade
+    // later measurements in the same JVM (observed 40x on tiny queries)
+    spark.catalog.clearCache()
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
+    val (fetches, crawlSec) =
+      crawlRounds(spark, stateDir, nPages, nHosts = 1024, rounds = 3, roundBudget = 200000)
+    results("crawl_rounds") = crawlSec
+    val urlsPerSec = fetches / math.max(crawlSec, 1e-9)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_urls_per_sec":$urlsPerSec%.1f,"crawl_fetches":$fetches,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an `embeddings(vec_id, embedding: array<float>)`
+  * table: brute-force cosine top-k as the exact baseline, IVF-style
+  * partitioned search as the scale path, and cosine near-dup pairs.
+  *
+  * Scale notes: brute force is O(Q·N) — fine when the query set is small
+  * and broadcastable (the plan below broadcasts queries, so the corpus is
+  * scanned once, no shuffle of the big side). IVF bounds the scanned
+  * fraction to nprobe/nlists of the corpus; its assignment join partitions
+  * by centroid id, so a 1000-executor cluster scans lists independently.
+  */
+object Similarity {
+
+  /** Corpus with precast double vector + precomputed norm. */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), toDoubleUdf(col("embedding")).as("v"))
+      .withColumn("nrm", normUdf(col("v")))
+
+  /** Exact top-k cosine neighbors for each query vector (default: the 8
+    * lowest vec_ids). Queries are broadcast; corpus side never shuffles
+    * before the per-query rank. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val p = prepared(embeddings)
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = p.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** IVF-style approximate top-k: a deterministic coarse quantizer (every
+    * `centroidStride`-th vector is a centroid), invert the corpus into
+    * per-centroid lists, probe the `nprobe` nearest lists per query.
+    * Recall vs [[bruteForceTopK]] is asserted in SimilaritySpec. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+              centroidStride: Int = 50, nprobe: Int = 8): DataFrame = {
+    val p = prepared(embeddings).persist()
+    val centroids = p.filter(pmod(col("vec_id"), lit(centroidStride.toLong)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // invert: assign each vector to its nearest centroid (broadcast centroids)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val assigned = p.join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosineWithNorms(col("cv"), col("v"), col("cn"), col("nrm")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    // probe lists: nprobe nearest centroids per query
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid").asc)
+    val probes = queries.join(broadcast(centroids), lit(true))
+      .withColumn("qsim", cosineWithNorms(col("cv"), col("qv"), col("cn"), col("qn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    // search only the probed lists
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding near-dup pairs: all (a,b), a<b, cosine ≥ threshold.
+    * Exact O(n²) pair join — the oracle-checkable baseline; LSH/IVF
+    * blocking replaces the cross join at corpus scale. */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val p = prepared(embeddings)
+    val a = p.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

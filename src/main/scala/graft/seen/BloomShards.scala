@@ -1,0 +1,109 @@
+package graft.seen
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Partitioned bloom-filter URL-seen set (north-star R7; SURVEY.md §2.K).
+  *
+  * The reference realizes "seen" as queue-key uniqueness enforced by the DB
+  * (`SqlQueueTaskProvider.scala:59-77`). At 10^10 URLs a single filter
+  * doesn't fit one task's memory and a naive `df.stat.bloomFilter` pulls the
+  * build to the driver, so the seen set is SHARDED: key k lives in shard
+  * `pmod(xxhash64(k), nShards)`; shards build in parallel (one
+  * `mapPartitions` per shard group after a hash repartition) and probe via a
+  * broadcast of all shard bytes.
+  *
+  * Membership semantics: bloom is a PRE-FILTER only — `probe` keeps every
+  * true member (no false negatives, asserted in BloomShardsSpec) and the
+  * caller confirms survivors with an exact anti-join (C2), so the URL-seen
+  * set stays exact while the anti-join's shuffle input drops by the filter's
+  * ~99% rejection rate.
+  */
+object BloomShards {
+
+  final case class Shards(nShards: Int, bytes: Array[Array[Byte]]) extends Serializable {
+    @transient lazy val filters: Array[BloomFilter] =
+      bytes.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
+    def mightContain(key: String): Boolean = {
+      val s = graft.core.Det.pmod(graft.core.Det.xxhash64(key), nShards.toLong).toInt
+      filters(s).mightContainString(key)
+    }
+  }
+
+  /** Build shards from a string-key column of `df`, distributed: shuffle
+    * keys to their shard partition, build one filter per partition, collect
+    * only the (small) filter bytes. */
+  def build(df: DataFrame, keyCol: String, nShards: Int,
+            expectedPerShard: Long = 1L << 16, fpp: Double = 0.01): Shards = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // keys are canonicalized to string so build-side shard routing
+    // (Spark xxhash64 over the string) and probe-side Det.xxhash64 agree —
+    // hashing the native type here would route a bigint to a different
+    // shard than its string form probes (no-false-negative invariant!)
+    val built = df
+      .select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .withColumn("shard", pmod(xxhash64(col("k")), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .select(col("shard"), col("k"))
+      .as[(Int, String)]
+      .mapPartitions { it =>
+        val byShard = scala.collection.mutable.Map.empty[Int, BloomFilter]
+        it.foreach { case (s, k) =>
+          byShard.getOrElseUpdate(s, BloomFilter.create(expectedPerShard, fpp)).putString(k)
+        }
+        byShard.iterator.map { case (s, f) =>
+          val bos = new ByteArrayOutputStream(); f.writeTo(bos); (s, bos.toByteArray)
+        }
+      }
+      .collect()
+    val arr = Array.fill[Array[Byte]](nShards) {
+      val bos = new ByteArrayOutputStream()
+      BloomFilter.create(1, fpp).writeTo(bos); bos.toByteArray
+    }
+    // a shard may be split across partitions only if the shuffle placed two
+    // groups together — merge via mergeInPlace for safety
+    val merged = scala.collection.mutable.Map.empty[Int, BloomFilter]
+    built.foreach { case (s, b) =>
+      val f = BloomFilter.readFrom(new ByteArrayInputStream(b))
+      merged.get(s) match {
+        case Some(m) => m.mergeInPlace(f)
+        case None => merged(s) = f
+      }
+    }
+    merged.foreach { case (s, f) =>
+      val bos = new ByteArrayOutputStream(); f.writeTo(bos); arr(s) = bos.toByteArray
+    }
+    Shards(nShards, arr)
+  }
+
+  /** Probe column: true iff `key` MIGHT be in the seen set. */
+  def probeCol(spark: SparkSession, shards: Shards, key: Column): Column = {
+    val b: Broadcast[Shards] = spark.sparkContext.broadcast(shards)
+    val probeUdf = udf((k: String) => k != null && b.value.mightContain(k))
+    probeUdf(key.cast("string"))
+  }
+
+  /** The full exact-seen pattern: rows of `candidates` whose `keyCol` is NOT
+    * in `seen` — bloom pre-filter kills the bulk, exact anti-join confirms.
+    * Result is identical to a plain anti-join (bloom has no false
+    * negatives); only the shuffle volume changes. */
+  def notSeen(candidates: DataFrame, seen: DataFrame, keyCol: String, nShards: Int = 16): DataFrame = {
+    val spark = candidates.sparkSession
+    val shards = build(seen, keyCol, nShards)
+    val withFlag = candidates
+      .withColumn("__maybe", probeCol(spark, shards, col(keyCol)))
+      .persist()
+    // definite-new rows skip the join entirely; only possible members are
+    // confirmed by the exact anti-join (bloom FP safety)
+    val sure = withFlag.filter(not(col("__maybe"))).drop("__maybe")
+    val check = withFlag.filter(col("__maybe")).drop("__maybe")
+      .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    sure.unionByName(check)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming dressing for the engine's event-flow operators
+  * (SURVEY.md §2.J S1-S3). The crawl loop itself stays a deterministic
+  * batch round-loop (the exact-order criterion can't be expressed across
+  * `flatMapGroupsWithState` groups — §7.6); these operators are the
+  * streaming-ingest side a production deployment would run alongside:
+  * watermarked windowed aggregation and custom keyed state.
+  *
+  * Tested with `Trigger.AvailableNow` over a parquet directory so the
+  * streaming results are comparable 1:1 to their batch twins
+  * (CrawlOps.windowCounts / sessionize).
+  */
+object StreamOps {
+
+  /** File-source stream over a parquet directory. */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** S1 — watermarked tumbling-window counts (streaming twin of
+    * CrawlOps.windowCounts). Late data beyond 2h is dropped by the
+    * watermark; with AvailableNow + complete output the result equals the
+    * batch aggregate. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp")) // watermarks need TIMESTAMP, not NTZ
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, tsMicros: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** S2/S3 — custom keyed state via mapGroupsWithState: per-user session
+    * counting with a 30-min gap rule. State = (last event time, session
+    * count); within a micro-batch events are sorted by time (the iterator
+    * order is not guaranteed). Batch twin: CrawlOps.sessionize. */
+  def sessionCounts(events: Dataset[UserEvent], gapMinutes: Int = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), UserSessions](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[(Long, Long, Long)]) =>
+          val (lastTs0, sessions0, events0) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          var lastTs = lastTs0
+          var sessions = sessions0
+          var nEvents = events0
+          it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            if (lastTs == Long.MinValue || e.tsMicros - lastTs > gapMicros) sessions += 1
+            lastTs = e.tsMicros
+            nEvents += 1
+          }
+          state.update((lastTs, sessions, nEvents))
+          UserSessions(user, sessions, nEvents)
+      }
+  }
+
+  /** Run a streaming frame to an in-memory table with AvailableNow (drain
+    * everything currently in the source, then stop); returns the table. */
+  def runAvailableNow(spark: SparkSession, df: DataFrame, name: String,
+                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .queryName(name)
+      .outputMode(outputMode)
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Dedup operator family over the driver's documents table (sf0.001 for
+  * speed; the driver's DuckDB oracle re-checks at sf0.01). */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact dedup groups cover all docs and keep the min id") {
+    val d = docs
+    val total = d.count()
+    val ex = Dedup.exact(d).collect()
+    assert(ex.map(_.getLong(2)).sum == total)   // every doc in exactly one group
+    // keep_id must be a member: re-derive fingerprint for keep ids
+    val fps = TextAnalysis.fingerprints(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ex.foreach(r => assert(fps(r.getLong(1)) == r.getString(0)))
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard pairs at threshold 0.8") {
+    val d = docs
+    val exact = Dedup.ngramJaccard(d, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLsh(d, 3, 64, 16, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("jaccard is symmetric-safe (a<b) and within [0,1]") {
+    Dedup.ngramJaccard(docs, 3, 0.5).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("simhash pairs: near-dup docs have close fingerprints") {
+    val d = docs
+    // planted near-dups (jaccard >= 0.9) should mostly appear within hamming<=3
+    val nearDups = Dedup.ngramJaccard(d, 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(d, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (nearDups.nonEmpty) {
+      // simhash at hamming<=3 is a coarser sieve than minhash — banding
+      // guarantees recall only within hamming<=3; near-dups can land at 4-6
+      val recall = nearDups.count(sim.contains).toDouble / nearDups.size
+      assert(recall >= 0.7, s"simhash recall $recall over ${nearDups.size} planted pairs")
+    }
+    // and fingerprints must be deterministic across two runs
+    val f1 = Dedup.simhashTable(d).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val f2 = Dedup.simhashTable(d).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(f1 == f2)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.operators.CrawlOps
+
+/** Streaming results must equal their batch twins under AvailableNow. */
+class StreamOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val eventsDir: String = {
+    // file streaming sources want a directory
+    val dir = Files.createTempDirectory("graft-stream-events").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+  private lazy val batchEvents = spark.read.parquet(eventsDir)
+
+  test("watermarked windowed counts equal the batch aggregate") {
+    val stream = StreamOps.parquetStream(spark, eventsDir, batchEvents.schema)
+    val out = StreamOps.runAvailableNow(spark,
+      StreamOps.windowedCounts(stream), "win_counts")
+      .orderBy(col("hour"), col("event_type")).collect()
+    val batch = CrawlOps.windowCounts(batchEvents).collect()
+    assert(out.length == batch.length && out.length > 0)
+    out.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("mapGroupsWithState session counts equal the batch sessionize") {
+    import spark.implicits._
+    val stream = StreamOps.parquetStream(spark, eventsDir, batchEvents.schema)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[StreamOps.UserEvent]
+    val out = StreamOps.runAvailableNow(spark,
+      StreamOps.sessionCounts(stream).toDF(), "sess_counts", OutputMode.Update())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = CrawlOps.sessionize(batchEvents)
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == batch)
+  }
+}
