@@ -46,12 +46,14 @@ final class SnapshotStore(baseDir: String, spark: SparkSession) {
       frontier: DataFrame,
       hosts: DataFrame,
       results: Option[DataFrame],
-      meta: Map[String, String]): Unit = {
-    // write-audit-publish: data first (overwrite any orphan), manifest last
+      metaLazy: => Map[String, String]): Unit = {
+    // write-audit-publish: data first (overwrite any orphan), manifest last.
+    // `metaLazy` is by-name: evaluated only after the data writes, so it can
+    // read Observation metrics collected during the frontier write.
     frontier.write.mode("overwrite").parquet(dir(v, "frontier"))
     hosts.write.mode("overwrite").parquet(dir(v, "hosts"))
     results.foreach(_.write.mode("overwrite").parquet(dir(v, "results")))
-    val json = (meta + ("version" -> v.toString, "hasResults" -> results.isDefined.toString))
+    val json = (metaLazy + ("version" -> v.toString, "hasResults" -> results.isDefined.toString))
       .map { case (k, w) => s""""$k":"$w"""" }.mkString("{", ",", "}")
     val tmp = Paths.get(s"$baseDir/.manifest-$v.tmp")
     Files.writeString(tmp, json)

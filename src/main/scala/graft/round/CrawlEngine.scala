@@ -80,6 +80,16 @@ object CrawlEngine {
       col("lang"))
       .filter(col("urlNorm").isNotNull)
 
+  /** Corpus staged for round joins: hash-partitioned ONCE on the join key
+    * so the per-round fetch join (C4) and warcTs lookup shuffle only the
+    * ≤roundBudget selected side — the corpus (the 100 TB side at scale)
+    * never moves again. Equivalent to bucketing the Iceberg page table on
+    * urlNorm. */
+  def corpusStaged(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    corpusNorm(corpus).repartition(parts, col("urlNorm")).persist()
+  }
+
   def loadHostRules(spark: SparkSession, corpusN: DataFrame): HostRules = {
     val robotsRows = corpusN
       .filter(pathOfUdf(col("urlNorm")) === "/robots.txt")
@@ -118,7 +128,39 @@ object CrawlEngine {
       Map("nextRound" -> "0", "nextId" -> rows.size.toString))
   }
 
-  final case class RoundOutcome(selectedCount: Long, newLinkCount: Long)
+  final case class RoundOutcome(selectedCount: Long, newLinkCount: Long, waitsRemaining: Long)
+
+  /** Distributed exact global rank: `seqCol` = 1-based rank of each row by
+    * `order`, computed without ever sorting on one partition or merging on
+    * the driver (a `orderBy().limit(n)` R2 cut is a driver-side heap merge
+    * of partitions×n rows — measured as the round bottleneck at 200k).
+    *
+    * Range-repartition on the order keys (sampling pass), count rows per
+    * range (tiny collect), then rank = partition offset + local row_number.
+    * Exact for any partition boundaries because `order` is a total order
+    * (unique id tiebreak), so crawl-order parity is preserved bit-for-bit.
+    * Returns (result, cacheHandle); callers unpersist the handle when the
+    * round is done.
+    */
+  def withGlobalSeq(df: DataFrame, order: Seq[Column], parts: Int,
+                    seqCol: String): (DataFrame, DataFrame) = {
+    val ranged = df.repartitionByRange(math.max(parts, 1), order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsetByPid = counts.map { case (pid, n) => val o = acc; acc += n; pid -> o }.toMap
+    val offExpr =
+      if (offsetByPid.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map_from_arrays(
+          lit(offsetByPid.keys.toArray),
+          lit(offsetByPid.values.toArray)),
+        col("__pid")), lit(0L))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    (ranged.withColumn(seqCol, (offExpr + row_number().over(w)).cast("long")), ranged)
+  }
 
   /** One crawl round (§3.1 rebuild): gate → rank → cut → fetch-join →
     * classify → commit. Returns None if nothing was eligible (caller jumps
@@ -161,10 +203,14 @@ object CrawlEngine {
       .withColumn("r2", row_number().over(w2)).filter(col("r2") <= cfg.hostBudgetPerRound)
       .drop("salt", "r1", "r2")
 
-    // R2 global cut: TakeOrderedAndProject (never a full frontier sort),
-    // then seq over the ≤ roundBudget selected rows only.
-    val selected = perHost.orderBy(FetchOrder: _*).limit(cfg.roundBudget)
-      .withColumn("seq", row_number().over(Window.orderBy(FetchOrder: _*)))
+    // R2 global cut via distributed exact rank (no driver merge, no
+    // single-partition sort), then keep the ≤ roundBudget head.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (ranked, rankedCache) = withGlobalSeq(perHost, FetchOrder, parts, "seqL")
+    val selected = ranked
+      .filter(col("seqL") <= cfg.roundBudget)
+      .withColumn("seq", col("seqL").cast("int"))
+      .drop("seqL", "__pid")
 
     // C4 fetch join (bounded by roundBudget) + G1 outcome taxonomy
     val fetched = selected
@@ -192,7 +238,7 @@ object CrawlEngine {
 
     // D5/H2: discovered links in (seq, pos) order → resolve → in-round dedup
     // (first occurrence) → C2 exact anti-join vs the whole frontier
-    val discovered = fetched
+    val newLinks = fetched
       .filter(col("outcome") === Outcome.Success)
       .select(col("seq"), col("urlNorm").as("parentUrl"),
         posexplode(col("parsed.links")).as(Seq("pos", "href")))
@@ -202,9 +248,13 @@ object CrawlEngine {
         Window.partitionBy(col("newNorm")).orderBy(col("seq"), col("pos"))))
       .filter(col("rn") === 1)
       .join(frontier.select(col("urlNorm").as("newNorm")), Seq("newNorm"), "left_anti")
-      .withColumn("idx", row_number().over(Window.orderBy(col("seq"), col("pos"))))
+    // id assignment in exact (seq, pos) discovery order — distributed rank,
+    // same mechanism as the R2 cut
+    val (newRanked, newRankedCache) =
+      withGlobalSeq(newLinks, Seq(col("seq"), col("pos")), parts, "idx")
+    val discovered = newRanked
       .select(
-        (col("idx").cast("long") + lit(nextId - 1)).as("id"),
+        (col("idx") + lit(nextId - 1)).as("id"),
         col("newNorm").as("url"), col("newNorm").as("urlNorm"),
         hostOfUdf(col("newNorm")).as("host"),
         when(robotsAllowedUdf(col("newNorm")), TaskStatus.Wait)
@@ -215,7 +265,6 @@ object CrawlEngine {
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
         col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
       .persist()
-    val newLinkCount = discovered.count()
 
     // G2/G3 + D1: status machine applied via broadcast join on id
     val outcomes = fetched.select(col("id"), col("outcome"))
@@ -238,7 +287,15 @@ object CrawlEngine {
         col("newStatus").as("status"), col("newAttempt").cast("int").as("attempt"),
         col("priority"), col("warcTs"), col("discoveredRound"))
 
+    // wait-count and new-link count piggyback on the commit write via
+    // observe — saves the driver loop a frontier scan per round and the
+    // separate discovered.count() job (new rows are exactly those tagged
+    // discoveredRound == round+1)
+    val obs = org.apache.spark.sql.Observation(s"commit-v${version + 1}")
     val frontier2 = updated.unionByName(discovered)
+      .observe(obs,
+        sum(when(col("status") === TaskStatus.Wait, 1L).otherwise(0L)).as("waits"),
+        sum(when(col("discoveredRound") === round + 1, 1L).otherwise(0L)).as("newLinks"))
 
     // F2/F3 host-state rewrite
     val hostUpdates = fetched.groupBy(col("host"))
@@ -248,15 +305,27 @@ object CrawlEngine {
     val hosts2 = hosts.join(hostUpdates, Seq("host"), "full_outer")
       .select(col("host"), coalesce(col("newTick"), col("nextTick")).as("nextTick"))
 
-    store.commit(version + 1, frontier2, hosts2, Some(records),
+    def obsLong(name: String, default: Long): Long =
+      obs.get.getOrElse(name, null) match {
+        case n: java.lang.Long => n.longValue
+        case _ => default // empty frontier write ⇒ no rows observed
+      }
+    // meta is by-name: evaluated inside commit AFTER the frontier write,
+    // when the observation metrics exist
+    store.commit(version + 1, frontier2, hosts2, Some(records), {
       Map("nextRound" -> (round + 1).toString,
         "round" -> round.toString,
-        "nextId" -> (nextId + newLinkCount).toString,
+        "nextId" -> (nextId + obsLong("newLinks", 0L)).toString,
         "selected" -> selectedCount.toString,
-        "newLinks" -> newLinkCount.toString))
+        "newLinks" -> obsLong("newLinks", 0L).toString)
+    })
+    val newLinkCount = obsLong("newLinks", 0L)
+    val waitsRemaining = obsLong("waits", -1L)
     fetched.unpersist()
     discovered.unpersist()
-    Some(RoundOutcome(selectedCount, newLinkCount))
+    rankedCache.unpersist()
+    newRankedCache.unpersist()
+    Some(RoundOutcome(selectedCount, newLinkCount, waitsRemaining))
   }
 
   final case class CrawlSummary(rounds: Int, versions: Int, fetches: Long, frontierSize: Long)
@@ -269,7 +338,7 @@ object CrawlEngine {
       corpus: DataFrame,
       seeds: Seq[(String, Int)],
       cfg: CrawlConfig): CrawlSummary = {
-    val corpusN = corpusNorm(corpus).persist()
+    val corpusN = corpusStaged(spark, corpus)
     val hostRules = loadHostRules(spark, corpusN)
     if (store.latestVersion.isEmpty)
       bootstrap(spark, store, corpusN, hostRules, seeds)
@@ -280,10 +349,16 @@ object CrawlEngine {
     var nextId = meta("nextId").toLong
     var fetchTotal = 0L
     var running = true
+    // wait-count carried across rounds by the commit-time observe; a full
+    // frontier scan happens only on resume entry and on the rare
+    // nothing-eligible jump
+    var waitsKnown: Long = -1L
     while (running && round < cfg.maxRounds) {
-      val frontier = store.readFrontier(version)
-      val waits = frontier.filter(col("status") === TaskStatus.Wait)
-      if (waits.isEmpty) running = false
+      val haveWaits =
+        if (waitsKnown >= 0) waitsKnown > 0
+        else !store.readFrontier(version)
+          .filter(col("status") === TaskStatus.Wait).isEmpty
+      if (!haveWaits) running = false
       else {
         runRound(spark, store, corpusN, hostRules, cfg, version, round, nextId) match {
           case Some(out) =>
@@ -292,10 +367,12 @@ object CrawlEngine {
             round = meta("nextRound").toInt
             nextId = meta("nextId").toLong
             fetchTotal += out.selectedCount
+            waitsKnown = out.waitsRemaining
           case None =>
             // nothing eligible: jump to the earliest reopen tick among
             // hosts that still hold waits (pure function of state)
-            val minNext = waits
+            val minNext = store.readFrontier(version)
+              .filter(col("status") === TaskStatus.Wait)
               .join(store.readHosts(version), Seq("host"), "left")
               .agg(min(coalesce(col("nextTick"), lit(0L)))).head().getLong(0)
             round = math.max(round + 1, minNext.toInt)
