@@ -23,9 +23,10 @@ object Bench {
     * (never on the driver), frontier v0 = every url in wait state, then
     * `rounds` engine rounds with a large budget. Returns (fetches, sec). */
   def crawlRounds(spark: SparkSession, stateDir: String, nPages: Long,
-                  nHosts: Int, rounds: Int, roundBudget: Int): (Long, Double) = {
+                  nHosts: Int, rounds: Int, roundBudget: Int,
+                  textRepeat: Int = 1): (Long, Double) = {
     import spark.implicits._
-    val corpus = CorpusTable.createLarge(spark, nPages, nHosts)
+    val corpus = CorpusTable.createLarge(spark, nPages, nHosts, textRepeat = textRepeat)
     val corpusN = CrawlEngine.corpusStaged(spark, corpus)
     val store = new SnapshotStore(stateDir, spark)
     // distributed bootstrap: the whole corpus is the seed frontier.

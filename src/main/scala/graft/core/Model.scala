@@ -83,5 +83,13 @@ case class CrawlConfig(
     politenessRadiusTicks: Long = 1L, // RandomTimeout radius
     banBackoffTicks: Long = 30L,   // 30 min hardcoded (TorResourceController.scala:115)
     maxRounds: Int = 64,
-    seed: Long = 42L
+    seed: Long = 42L,
+    // R7 partitioned bloom URL-seen set: pre-filters the discovered-link
+    // anti-join (exact confirm still runs on "maybe" rows — no-false-
+    // negative invariant keeps membership exact). Shards persist in each
+    // snapshot and update incrementally per round.
+    seenFilter: Boolean = false,
+    seenShards: Int = 16,
+    seenExpectedPerShard: Long = 1L << 16,
+    seenFpp: Double = 0.01
 )

@@ -25,7 +25,8 @@ object CorpusTable {
     * h = i % nHosts gets every nHosts-th page id — uniform; skew comes from
     * hashing a share of rows onto host 0). Deterministic, seed-free of
     * wall-clock. */
-  def createLarge(spark: SparkSession, nPages: Long, nHosts: Int, skewPct: Int = 20): DataFrame = {
+  def createLarge(spark: SparkSession, nPages: Long, nHosts: Int, skewPct: Int = 20,
+                  textRepeat: Int = 1): DataFrame = {
     import spark.implicits._
     val pages = spark.range(nPages)
       .select(
@@ -36,8 +37,11 @@ object CorpusTable {
       .select(col("id"), col("h"),
         concat(lit("https://host"), col("h"), lit(".example/p"), col("id")).as("url"),
         timestamp_micros(lit(1767225600000000L) + pmod(xxhash64(col("id"), lit(7)), lit(86400000000L))).as("warc_ts"),
-        concat(lit("text for page "), col("id"), lit(" on host "), col("h"),
-          lit(" words "), pmod(xxhash64(col("id"), lit(11)), lit(1000))).as("text"),
+        // textRepeat scales the body toward realistic page sizes (the
+        // default tiny body under-weights per-row parse/IO work)
+        repeat(concat(lit("text for page "), col("id"), lit(" on host "), col("h"),
+          lit(" words "), pmod(xxhash64(col("id"), lit(11)), lit(1000)), lit(" ")),
+          math.max(textRepeat, 1)).as("text"),
         element_at(lit(Array("en", "ru", "de")), (pmod(col("id"), lit(3)) + 1).cast("int")).as("lang"))
     pages.select(
       col("url"), col("warc_ts"),

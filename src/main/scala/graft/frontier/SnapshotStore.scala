@@ -68,6 +68,15 @@ final class SnapshotStore(baseDir: String, spark: SparkSession) {
 
   def readFrontier(v: Int): DataFrame = spark.read.parquet(dir(v, "frontier"))
   def readHosts(v: Int): DataFrame = spark.read.parquet(dir(v, "hosts"))
+
+  /** R7 seen-filter shards ((shard, bytes) rows), written as part of the
+    * same write-audit-publish cycle when the engine runs with the bloom
+    * pre-filter; absent otherwise. Must be written BEFORE `commit` seals
+    * the manifest. */
+  def writeSeen(v: Int, seen: DataFrame): Unit =
+    seen.write.mode("overwrite").parquet(dir(v, "seen"))
+  def hasSeen(v: Int): Boolean = Files.exists(Paths.get(dir(v, "seen")))
+  def readSeen(v: Int): DataFrame = spark.read.parquet(dir(v, "seen"))
   def hasResults(v: Int): Boolean = readMeta(v).get("hasResults").contains("true")
   def readResults(v: Int): DataFrame = spark.read.parquet(dir(v, "results"))
 

@@ -105,7 +105,8 @@ object CrawlEngine {
       store: SnapshotStore,
       corpusN: DataFrame,
       hostRules: HostRules,
-      seeds: Seq[(String, Int)]): Unit = {
+      seeds: Seq[(String, Int)],
+      cfg: CrawlConfig = CrawlConfig()): Unit = {
     import spark.implicits._
     // seeds are tiny and ordered: normalize + first-occurrence dedup driver-side
     val seen = scala.collection.mutable.Set.empty[String]
@@ -124,6 +125,12 @@ object CrawlEngine {
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
         col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
     val hosts0 = Seq.empty[(String, Long)].toDF("host", "nextTick")
+    if (cfg.seenFilter) {
+      val seen0 = graft.seen.BloomShards.update(
+        graft.seen.BloomShards.empty(cfg.seenShards, cfg.seenExpectedPerShard, cfg.seenFpp),
+        rows.map(_._3).toDF("urlNorm"), "urlNorm")
+      store.writeSeen(0, graft.seen.BloomShards.toDF(spark, seen0))
+    }
     store.commit(0, frontier0, hosts0, None,
       Map("nextRound" -> "0", "nextId" -> rows.size.toString))
   }
@@ -238,7 +245,7 @@ object CrawlEngine {
 
     // D5/H2: discovered links in (seq, pos) order → resolve → in-round dedup
     // (first occurrence) → C2 exact anti-join vs the whole frontier
-    val newLinks = fetched
+    val candidates = fetched
       .filter(col("outcome") === Outcome.Success)
       .select(col("seq"), col("urlNorm").as("parentUrl"),
         posexplode(col("parsed.links")).as(Seq("pos", "href")))
@@ -247,7 +254,29 @@ object CrawlEngine {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("newNorm")).orderBy(col("seq"), col("pos"))))
       .filter(col("rn") === 1)
-      .join(frontier.select(col("urlNorm").as("newNorm")), Seq("newNorm"), "left_anti")
+    // C2 URL-seen membership. With the R7 bloom pre-filter on, rows the
+    // shards have never seen skip the anti-join entirely (no false
+    // negatives ⇒ sure-new); only "maybe" rows pay the exact confirm, so
+    // the per-round anti-join input shrinks from all-links to ~FP-rate.
+    val seenShards =
+      if (!cfg.seenFilter) None
+      else Some(
+        if (store.hasSeen(version)) graft.seen.BloomShards.fromDF(store.readSeen(version))
+        else { // resumed from a pre-filter snapshot: rebuild from frontier
+          graft.seen.BloomShards.build(frontier, "urlNorm", cfg.seenShards,
+            cfg.seenExpectedPerShard, cfg.seenFpp)
+        })
+    val newLinks = seenShards match {
+      case None =>
+        candidates.join(frontier.select(col("urlNorm").as("newNorm")), Seq("newNorm"), "left_anti")
+      case Some(shards) =>
+        val flagged = candidates.withColumn("__maybe",
+          graft.seen.BloomShards.probeCol(spark, shards, col("newNorm")))
+        val sure = flagged.filter(not(col("__maybe"))).drop("__maybe")
+        val confirmed = flagged.filter(col("__maybe")).drop("__maybe")
+          .join(frontier.select(col("urlNorm").as("newNorm")), Seq("newNorm"), "left_anti")
+        sure.unionByName(confirmed)
+    }
     // id assignment in exact (seq, pos) discovery order — distributed rank,
     // same mechanism as the R2 cut
     val (newRanked, newRankedCache) =
@@ -305,6 +334,12 @@ object CrawlEngine {
     val hosts2 = hosts.join(hostUpdates, Seq("host"), "full_outer")
       .select(col("host"), coalesce(col("newTick"), col("nextTick")).as("nextTick"))
 
+    // R7 shard update: cost ∝ new links this round, then persisted with
+    // the snapshot (the URL-seen set resumes exactly with the frontier)
+    seenShards.foreach { shards =>
+      val seen2 = graft.seen.BloomShards.update(shards, discovered.select("urlNorm"), "urlNorm")
+      store.writeSeen(version + 1, graft.seen.BloomShards.toDF(spark, seen2))
+    }
     def obsLong(name: String, default: Long): Long =
       obs.get.getOrElse(name, null) match {
         case n: java.lang.Long => n.longValue
@@ -341,7 +376,7 @@ object CrawlEngine {
     val corpusN = corpusStaged(spark, corpus)
     val hostRules = loadHostRules(spark, corpusN)
     if (store.latestVersion.isEmpty)
-      bootstrap(spark, store, corpusN, hostRules, seeds)
+      bootstrap(spark, store, corpusN, hostRules, seeds, cfg)
 
     var version = store.latestVersion.get
     var meta = store.readMeta(version)

@@ -82,6 +82,77 @@ object BloomShards {
     Shards(nShards, arr)
   }
 
+  /** An always-empty shard set (bootstrap). */
+  def empty(nShards: Int, expectedPerShard: Long = 1L << 12, fpp: Double = 0.01): Shards = {
+    val bytes = Array.fill[Array[Byte]](nShards) {
+      val bos = new ByteArrayOutputStream()
+      BloomFilter.create(math.max(expectedPerShard, 1L), fpp).writeTo(bos)
+      bos.toByteArray
+    }
+    Shards(nShards, bytes)
+  }
+
+  /** Shards → (shard, bytes) rows for snapshot persistence. */
+  def toDF(spark: SparkSession, shards: Shards): DataFrame = {
+    import spark.implicits._
+    shards.bytes.zipWithIndex.map { case (b, i) => (i, b) }.toSeq.toDF("shard", "bytes")
+  }
+
+  /** (shard, bytes) rows → Shards. */
+  def fromDF(df: DataFrame): Shards = {
+    val rows = df.select(col("shard"), col("bytes")).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
+    val n = rows.length
+    val arr = new Array[Array[Byte]](n)
+    rows.foreach { case (i, b) => arr(i) = b }
+    Shards(n, arr)
+  }
+
+  /** Merge a set of new string keys into existing shards, distributed: new
+    * keys shuffle to their shard partition, each partition deserializes
+    * ONE old shard, inserts, re-serializes. Untouched shards pass through.
+    * Per-round cost ∝ new keys, never ∝ seen-set size. */
+  def update(old: Shards, newKeys: DataFrame, keyCol: String): Shards = {
+    val spark = newKeys.sparkSession
+    import spark.implicits._
+    val oldB = spark.sparkContext.broadcast(old)
+    val touched = newKeys
+      .select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .withColumn("shard", pmod(xxhash64(col("k")), lit(old.nShards.toLong)).cast("int"))
+      .repartition(old.nShards, col("shard"))
+      .select(col("shard"), col("k"))
+      .as[(Int, String)]
+      .mapPartitions { it =>
+        val byShard = scala.collection.mutable.Map.empty[Int, BloomFilter]
+        it.foreach { case (s, k) =>
+          byShard.getOrElseUpdate(s,
+            BloomFilter.readFrom(new ByteArrayInputStream(oldB.value.bytes(s)))).putString(k)
+        }
+        byShard.iterator.map { case (s, f) =>
+          val bos = new ByteArrayOutputStream(); f.writeTo(bos); (s, bos.toByteArray)
+        }
+      }
+      .collect()
+    val arr = old.bytes.clone()
+    // defensive: merge if a shard's keys were split across partitions
+    val seen = scala.collection.mutable.Map.empty[Int, BloomFilter]
+    touched.foreach { case (s, b) =>
+      val f = BloomFilter.readFrom(new ByteArrayInputStream(b))
+      seen.get(s) match {
+        case Some(m) => m.mergeInPlace(f)
+        case None => seen(s) = f
+      }
+    }
+    // shards updated on two different partitions would each start from the
+    // OLD bytes; mergeInPlace of bloom bitsets is a union, and both contain
+    // the old bits, so the merge is still exact
+    seen.foreach { case (s, f) =>
+      val bos = new ByteArrayOutputStream(); f.writeTo(bos); arr(s) = bos.toByteArray
+    }
+    Shards(old.nShards, arr)
+  }
+
   /** Probe column: true iff `key` MIGHT be in the seen set. */
   def probeCol(spark: SparkSession, shards: Shards, key: Column): Column = {
     val b: Broadcast[Shards] = spark.sparkContext.broadcast(shards)

@@ -78,6 +78,23 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
     assert(engineFrontier == simFrontier)
   }
 
+  test("bloom seen-filter path yields the identical crawl (R7 exactness)") {
+    val plain = tmpDir("plain"); val bloom = tmpDir("bloom")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(plain, spark), corpus, CorpusGen.seeds(spec), cfg)
+    val bloomCfg = cfg.copy(seenFilter = true, seenShards = 4)
+    // interrupt + resume to exercise shard persistence too
+    CrawlEngine.crawl(spark, new SnapshotStore(bloom, spark),
+      corpus, CorpusGen.seeds(spec), bloomCfg.copy(maxRounds = 4))
+    CrawlEngine.crawl(spark, new SnapshotStore(bloom, spark),
+      corpus, CorpusGen.seeds(spec), bloomCfg)
+    val (a, _) = engineFetches(plain)
+    val (b, _) = engineFetches(bloom)
+    assert(a == b)
+    assert(new SnapshotStore(bloom, spark).hasSeen(
+      new SnapshotStore(bloom, spark).latestVersion.get))
+  }
+
   test("kill-after-round-k resume produces an identical crawl (F7/F8)") {
     val full = tmpDir("full"); val resumed = tmpDir("resumed")
     val corpus = CorpusTable.create(spark, spec)
