@@ -43,7 +43,9 @@ object Bench {
     store.commit(0, frontier0, hosts0, None, Map("nextRound" -> "0", "nextId" -> nPages.toString))
 
     val cfg = CrawlConfig(
-      hostBudgetPerRound = 64, roundBudget = roundBudget,
+      // host budget sized so the round budget (not the politeness cap) binds
+      hostBudgetPerRound = math.max(64, 2 * roundBudget / nHosts),
+      roundBudget = roundBudget,
       politenessCenterTicks = 0, politenessRadiusTicks = 0, maxRounds = rounds)
     val rules = CrawlEngine.HostRules(Map.empty)
     val t0 = System.nanoTime()

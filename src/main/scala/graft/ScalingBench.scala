@@ -19,18 +19,27 @@ object ScalingBench {
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1000000").toLong
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "500000").toInt
     val textRepeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_TEXT_REPEAT", "16").toInt
+    // Snapshot state and shuffle dirs go to SPARK_GRAFT_TMPDIR (tools/
+    // scaling.sh points it at tmpfs): on one box the single data disk is
+    // the anti-scaling artifact — cluster storage (HDFS/S3) adds bandwidth
+    // with executors, RAM-backed fs is the honest single-box analog.
+    val tmpBase = sys.env.getOrElse("SPARK_GRAFT_TMPDIR", System.getProperty("java.io.tmpdir"))
+    Files.createDirectories(java.nio.file.Paths.get(tmpBase))
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", tmpBase)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def tmpDir(prefix: String): String =
+      Files.createTempDirectory(java.nio.file.Paths.get(tmpBase), prefix).toString
     // warmup at small size to JIT/codegen before measuring
-    Bench.crawlRounds(spark, Files.createTempDirectory("graft-warm").toString,
+    Bench.crawlRounds(spark, tmpDir("graft-warm"),
       50000, 256, rounds = 1, roundBudget = 50000, textRepeat = textRepeat)
-    val stateDir = Files.createTempDirectory(s"graft-scaling-$cores").toString
+    val stateDir = tmpDir(s"graft-scaling-$cores")
     val (fetches, sec) = Bench.crawlRounds(spark, stateDir, nPages,
       nHosts = 4096, rounds = 2, roundBudget = budget, textRepeat = textRepeat)
     println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat}""")

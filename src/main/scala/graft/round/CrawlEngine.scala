@@ -27,6 +27,16 @@ import graft.frontier.SnapshotStore
   */
 object CrawlEngine {
 
+  /** Dev phase timing, enabled by SPARK_GRAFT_TIMING=1 (stderr). */
+  private val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+  private def timed[T](name: String)(f: => T): T =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime(); val x = f
+      System.err.println(f"[round-timing] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      x
+    }
+
   val FetchOrder: Seq[Column] =
     Seq(col("priority").desc, col("warcTs").asc_nulls_last, col("id").asc)
 
@@ -154,8 +164,8 @@ object CrawlEngine {
     val ranged = df.repartitionByRange(math.max(parts, 1), order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    val counts = ranged.groupBy(col("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val counts = timed(s"rank-counts($seqCol)")(ranged.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1))
     var acc = 0L
     val offsetByPid = counts.map { case (pid, n) => val o = acc; acc += n; pid -> o }.toMap
     val offExpr =
@@ -233,8 +243,8 @@ object CrawlEngine {
           .otherwise(Outcome.Success))
       .persist()
 
-    val selectedCount = fetched.count()
-    if (selectedCount == 0) { fetched.unpersist(); return None }
+    val selectedCount = timed("fetch-join+classify")(fetched.count())
+    if (selectedCount == 0) { fetched.unpersist(blocking = true); return None }
 
     // fetch records (the crawl-order contract surface)
     val records = fetched.select(
@@ -337,7 +347,8 @@ object CrawlEngine {
     // R7 shard update: cost ∝ new links this round, then persisted with
     // the snapshot (the URL-seen set resumes exactly with the frontier)
     seenShards.foreach { shards =>
-      val seen2 = graft.seen.BloomShards.update(shards, discovered.select("urlNorm"), "urlNorm")
+      val seen2 = timed("seen-update")(
+        graft.seen.BloomShards.update(shards, discovered.select("urlNorm"), "urlNorm"))
       store.writeSeen(version + 1, graft.seen.BloomShards.toDF(spark, seen2))
     }
     def obsLong(name: String, default: Long): Long =
@@ -347,19 +358,19 @@ object CrawlEngine {
       }
     // meta is by-name: evaluated inside commit AFTER the frontier write,
     // when the observation metrics exist
-    store.commit(version + 1, frontier2, hosts2, Some(records), {
+    timed("commit")(store.commit(version + 1, frontier2, hosts2, Some(records), {
       Map("nextRound" -> (round + 1).toString,
         "round" -> round.toString,
         "nextId" -> (nextId + obsLong("newLinks", 0L)).toString,
         "selected" -> selectedCount.toString,
         "newLinks" -> obsLong("newLinks", 0L).toString)
-    })
+    }))
     val newLinkCount = obsLong("newLinks", 0L)
     val waitsRemaining = obsLong("waits", -1L)
-    fetched.unpersist()
-    discovered.unpersist()
-    rankedCache.unpersist()
-    newRankedCache.unpersist()
+    fetched.unpersist(blocking = true)
+    discovered.unpersist(blocking = true)
+    rankedCache.unpersist(blocking = true)
+    newRankedCache.unpersist(blocking = true)
     Some(RoundOutcome(selectedCount, newLinkCount, waitsRemaining))
   }
 

@@ -8,11 +8,15 @@ LOW="${1:-8}"
 HIGH="${2:-32}"
 OUT=target/scaling
 mkdir -p "$OUT"
+export SPARK_GRAFT_TMPDIR="${SPARK_GRAFT_TMPDIR:-/dev/shm/graft-scaling}"
+mkdir -p "$SPARK_GRAFT_TMPDIR"
+trap 'rm -rf "$SPARK_GRAFT_TMPDIR"' EXIT
 for c in "$LOW" "$HIGH"; do
   echo "[scaling] running local[$c]..."
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" \
     sbt -batch "runMain graft.ScalingBench $c" 2>&1 \
     | grep -o '{"metric":"scaling_level".*}' > "$OUT/level_$c.json"
   cat "$OUT/level_$c.json"
+  rm -rf "$SPARK_GRAFT_TMPDIR"/*
 done
 python3 tools/scaling_report.py "$OUT/level_$LOW.json" "$OUT/level_$HIGH.json"
