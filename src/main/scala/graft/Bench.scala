@@ -22,9 +22,12 @@ object Bench {
   /** Frontier-throughput benchmark: N-page corpus generated distributed
     * (never on the driver), frontier v0 = every url in wait state, then
     * `rounds` engine rounds with a large budget. Returns (fetches, sec). */
-  def crawlRounds(spark: SparkSession, stateDir: String, nPages: Long,
-                  nHosts: Int, rounds: Int, roundBudget: Int,
-                  textRepeat: Int = 1): (Long, Double) = {
+  /** Like [[crawlRounds]] but returns per-round (fetches, sec) so callers
+    * can separate the warm-up round (cache first-touch, JIT) from
+    * steady-state rounds. */
+  def crawlRoundsDetailed(spark: SparkSession, stateDir: String, nPages: Long,
+                          nHosts: Int, rounds: Int, roundBudget: Int,
+                          textRepeat: Int = 1): Vector[(Long, Double)] = {
     import spark.implicits._
     val corpus = CorpusTable.createLarge(spark, nPages, nHosts, textRepeat = textRepeat)
     val corpusN = CrawlEngine.corpusStaged(spark, corpus)
@@ -48,23 +51,31 @@ object Bench {
       roundBudget = roundBudget,
       politenessCenterTicks = 0, politenessRadiusTicks = 0, maxRounds = rounds)
     val rules = CrawlEngine.HostRules(Map.empty)
-    val t0 = System.nanoTime()
+    val out = Vector.newBuilder[(Long, Double)]
     var fetched = 0L
     var v = 0
     var r = 0
     while (r < rounds) {
       val rt0 = System.nanoTime()
       CrawlEngine.runRound(spark, store, corpusN, rules, cfg, v, r, nPages + fetched) match {
-        case Some(out) =>
-          fetched += out.selectedCount; v += 1
-          System.err.println(f"[bench] round $r: ${out.selectedCount} fetches in ${(System.nanoTime() - rt0) / 1e9}%.2f s")
+        case Some(o) =>
+          val sec = (System.nanoTime() - rt0) / 1e9
+          fetched += o.selectedCount; v += 1
+          out += ((o.selectedCount, sec))
+          System.err.println(f"[bench] round $r: ${o.selectedCount} fetches in $sec%.2f s")
         case None => r = rounds
       }
       r += 1
     }
-    val sec = (System.nanoTime() - t0) / 1e9
     corpusN.unpersist()
-    (fetched, sec)
+    out.result()
+  }
+
+  def crawlRounds(spark: SparkSession, stateDir: String, nPages: Long,
+                  nHosts: Int, rounds: Int, roundBudget: Int,
+                  textRepeat: Int = 1): (Long, Double) = {
+    val per = crawlRoundsDetailed(spark, stateDir, nPages, nHosts, rounds, roundBudget, textRepeat)
+    (per.map(_._1).sum, per.map(_._2).sum)
   }
 
   def timed(f: => Long): (Long, Double) = {
@@ -80,7 +91,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4 waves per stage: single-wave scheduling makes every stage as
+      // slow as its worst straggler (see ScalingBench)
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

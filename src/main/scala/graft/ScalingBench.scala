@@ -25,14 +25,36 @@ object ScalingBench {
     // with executors, RAM-backed fs is the honest single-box analog.
     val tmpBase = sys.env.getOrElse("SPARK_GRAFT_TMPDIR", System.getProperty("java.io.tmpdir"))
     Files.createDirectories(java.nio.file.Paths.get(tmpBase))
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    // SPARK_GRAFT_CLUSTER=1 → `local-cluster[cores/4, 4, mem]`: one
+    // executor JVM per 4 cores, each with its own heap/GC. This is the
+    // faithful N-vs-4N-executors model — a single 32-thread JVM serializes
+    // all executors through one garbage collector, which a real cluster
+    // never does (measured: 3x core-seconds inflation at local[32]).
+    val clusterMode = sys.env.get("SPARK_GRAFT_CLUSTER").contains("1")
+    val coresPerWorker = math.min(4, cores)
+    // partitions = 4 waves per stage: with exactly one task per core, any
+    // straggler (skewed partition, GC pause) extends the whole stage;
+    // finer tasks let free cores absorb the tail
+    val builder0 = SparkSession.builder()
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", cores * 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", tmpBase)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder =
+      if (!clusterMode) builder0.master(s"local[$cores]")
+      else {
+        val workers = math.max(cores / coresPerWorker, 1)
+        val workerMemMb = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM_MB", "16384")
+        val jar = new java.io.File("target/scala-2.13").listFiles()
+          .filter(f => f.getName.endsWith(".jar") && f.getName.startsWith("cloudcrawlerspark"))
+          .maxBy(_.lastModified).getAbsolutePath
+        builder0
+          .master(s"local-cluster[$workers,$coresPerWorker,$workerMemMb]")
+          .config("spark.jars", jar)
+          .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "12g"))
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def tmpDir(prefix: String): String =
       Files.createTempDirectory(java.nio.file.Paths.get(tmpBase), prefix).toString
@@ -40,9 +62,15 @@ object ScalingBench {
     Bench.crawlRounds(spark, tmpDir("graft-warm"),
       50000, 256, rounds = 1, roundBudget = 50000, textRepeat = textRepeat)
     val stateDir = tmpDir(s"graft-scaling-$cores")
-    val (fetches, sec) = Bench.crawlRounds(spark, stateDir, nPages,
-      nHosts = 4096, rounds = 2, roundBudget = budget, textRepeat = textRepeat)
-    println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat}""")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val per = Bench.crawlRoundsDetailed(spark, stateDir, nPages,
+      nHosts = 4096, rounds = rounds, roundBudget = budget, textRepeat = textRepeat)
+    // round 0 pays corpus-cache first-touch + codegen/JIT warmup — report
+    // steady-state rounds (what a long-running crawl amortizes to)
+    val steady = if (per.length > 1) per.tail else per
+    val fetches = steady.map(_._1).sum
+    val sec = steady.map(_._2).sum
+    println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat,"rounds_measured":${steady.length},"warmup_round_sec":${per.head._2}%.2f}""")
     spark.stop()
   }
 }

@@ -229,8 +229,11 @@ object CrawlEngine {
       .withColumn("seq", col("seqL").cast("int"))
       .drop("seqL", "__pid")
 
-    // C4 fetch join (bounded by roundBudget) + G1 outcome taxonomy
-    val fetched = selected
+    // C4 fetch join (bounded by roundBudget) + G1 outcome taxonomy.
+    // shuffle_hash hint: a sort-merge join would RE-SORT the corpus side
+    // (the 100 TB table) every round — the hash build on the ≤roundBudget
+    // selected side is tiny per partition and sort-free.
+    val fetched = selected.hint("shuffle_hash")
       .join(corpusN.select("urlNorm", "htmlStr", "lang"), Seq("urlNorm"), "left")
       .withColumn("parsed", parseUdf(col("htmlStr"), col("host")))
       .withColumn("ioUntil", ioFailUntilUdf(col("lang")))
@@ -246,12 +249,21 @@ object CrawlEngine {
     val selectedCount = timed("fetch-join+classify")(fetched.count())
     if (selectedCount == 0) { fetched.unpersist(blocking = true); return None }
 
-    // fetch records (the crawl-order contract surface)
+    // fetch records (the crawl-order contract surface). The D1 per-outcome
+    // report rides the results write as an Observation and lands in the
+    // manifest — durable per-round lineage counters at zero extra jobs.
+    val outcomeNames = Seq(Outcome.Success, Outcome.NotFound, Outcome.Banned,
+      Outcome.IoFailed, Outcome.ParsingFailed, Outcome.GenericFailed)
+    val recObs = org.apache.spark.sql.Observation(s"records-v${version + 1}")
     val records = fetched.select(
       lit(round).as("round"), col("seq"), col("id"), col("urlNorm"),
       col("outcome"), col("parsed.text").as("extractedText"),
       when(col("outcome") === Outcome.Success, size(col("parsed.links")))
         .otherwise(lit(0)).cast("int").as("nNewLinks"))
+      .observe(recObs,
+        sum(when(col("outcome") === outcomeNames.head, 1L).otherwise(0L)).as(outcomeNames.head),
+        outcomeNames.tail.map(o =>
+          sum(when(col("outcome") === o, 1L).otherwise(0L)).as(o)): _*)
 
     // D5/H2: discovered links in (seq, pos) order → resolve → in-round dedup
     // (first occurrence) → C2 exact anti-join vs the whole frontier
@@ -276,15 +288,17 @@ object CrawlEngine {
           graft.seen.BloomShards.build(frontier, "urlNorm", cfg.seenShards,
             cfg.seenExpectedPerShard, cfg.seenFpp)
         })
+    // (anti-joins hinted shuffle_hash for the same no-re-sort reason)
+    val seenSet = frontier.select(col("urlNorm").as("newNorm")).hint("shuffle_hash")
     val newLinks = seenShards match {
       case None =>
-        candidates.join(frontier.select(col("urlNorm").as("newNorm")), Seq("newNorm"), "left_anti")
+        candidates.join(seenSet, Seq("newNorm"), "left_anti")
       case Some(shards) =>
         val flagged = candidates.withColumn("__maybe",
           graft.seen.BloomShards.probeCol(spark, shards, col("newNorm")))
         val sure = flagged.filter(not(col("__maybe"))).drop("__maybe")
         val confirmed = flagged.filter(col("__maybe")).drop("__maybe")
-          .join(frontier.select(col("urlNorm").as("newNorm")), Seq("newNorm"), "left_anti")
+          .join(seenSet, Seq("newNorm"), "left_anti")
         sure.unionByName(confirmed)
     }
     // id assignment in exact (seq, pos) discovery order — distributed rank,
@@ -300,15 +314,20 @@ object CrawlEngine {
           .otherwise(TaskStatus.Skipped).as("status"),
         lit(0).as("attempt"), lit(0).as("priority"),
         lit(round + 1).as("discoveredRound"))
+      .hint("shuffle_hash") // build on the new-link side, never sort the corpus
       .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
         col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
       .persist()
 
-    // G2/G3 + D1: status machine applied via broadcast join on id
-    val outcomes = fetched.select(col("id"), col("outcome"))
+    // G2/G3 + D1: status machine via outcome join on id. No broadcast
+    // hint: outcomes is ≤ roundBudget rows — forcing a broadcast made the
+    // driver collect+build a multi-million-row hash relation per round
+    // (serial, ∝ round size — measured as the 32-core scaling ceiling).
+    // AQE sees the cached size and still broadcasts genuinely small rounds.
+    val outcomes = fetched.select(col("id"), col("outcome")).hint("shuffle_hash")
     val updated = frontier
-      .join(broadcast(outcomes), Seq("id"), "left")
+      .join(outcomes, Seq("id"), "left")
       .withColumn("newAttempt",
         when(col("outcome") === Outcome.GenericFailed, col("attempt") + 1)
           .otherwise(col("attempt")))
@@ -359,11 +378,14 @@ object CrawlEngine {
     // meta is by-name: evaluated inside commit AFTER the frontier write,
     // when the observation metrics exist
     timed("commit")(store.commit(version + 1, frontier2, hosts2, Some(records), {
+      val outcomeCounts = recObs.get.collect {
+        case (k, v: java.lang.Long) => s"outcome.$k" -> v.toString
+      }
       Map("nextRound" -> (round + 1).toString,
         "round" -> round.toString,
         "nextId" -> (nextId + obsLong("newLinks", 0L)).toString,
         "selected" -> selectedCount.toString,
-        "newLinks" -> obsLong("newLinks", 0L).toString)
+        "newLinks" -> obsLong("newLinks", 0L).toString) ++ outcomeCounts
     }))
     val newLinkCount = obsLong("newLinks", 0L)
     val waitsRemaining = obsLong("waits", -1L)

@@ -11,6 +11,13 @@ mkdir -p "$OUT"
 export SPARK_GRAFT_TMPDIR="${SPARK_GRAFT_TMPDIR:-/dev/shm/graft-scaling}"
 mkdir -p "$SPARK_GRAFT_TMPDIR"
 trap 'rm -rf "$SPARK_GRAFT_TMPDIR"' EXIT
+if [ "${SPARK_GRAFT_CLUSTER:-}" = "1" ]; then
+  # multi-executor-JVM mode needs the packaged library on spark.jars and
+  # a Spark dist for the executor launcher
+  export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+  export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
+  sbt -batch package >/dev/null
+fi
 for c in "$LOW" "$HIGH"; do
   echo "[scaling] running local[$c]..."
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" \
