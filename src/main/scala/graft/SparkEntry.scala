@@ -22,9 +22,10 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Crawl-engine E2E on the deterministic synthetic corpus; memoized per
-    * JVM so the two crawl queries share one run. */
-  private val crawlSpec = CorpusGen.Spec(nHosts = 6, pagesPerHost = 18)
-  private val crawlCfg = CrawlConfig(hostBudgetPerRound = 2, roundBudget = 16, maxRounds = 30)
+    * JVM so the two crawl queries share one run. Public: ExpectedOracles
+    * runs the reference simulator on the same spec + cfg. */
+  val crawlSpec = CorpusGen.Spec(nHosts = 6, pagesPerHost = 18)
+  val crawlCfg = CrawlConfig(hostBudgetPerRound = 2, roundBudget = 16, maxRounds = 30)
   @volatile private var crawlStateDir: Option[String] = None
   private def crawlState(s: SparkSession): String = synchronized {
     crawlStateDir.getOrElse {
@@ -315,6 +316,15 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, $SqlFp AS fp FROM documents ORDER BY doc_id",
+    // ---- expected-oracle tables (computed by the reference simulator /
+    // pure driver-side Scala in ExpectedOracles, persisted by Verify as
+    // parquet BEFORE this map is dumped; DuckDB reads them by absolute
+    // path — see ExpectedOracles scaladoc) --------------------------------
+    "crawl_fetch_schedule" -> ExpectedOracles.sqlFor("crawl_fetch_schedule"),
+    "crawl_frontier_final" -> ExpectedOracles.sqlFor("crawl_frontier_final"),
+    "politeness_schedule" -> ExpectedOracles.sqlFor("politeness_schedule"),
+    "dedup_simhash" -> ExpectedOracles.sqlFor("dedup_simhash"),
+    "ann_ivf_topk" -> ExpectedOracles.sqlFor("ann_ivf_topk"),
     "multimodal_meta" ->
       """SELECT doc_id, n AS n_bytes,
         |  CASE WHEN n % 3 = 0 THEN 'image' WHEN n % 3 = 1 THEN 'audio'

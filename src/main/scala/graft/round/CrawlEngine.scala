@@ -233,10 +233,18 @@ object CrawlEngine {
     // shuffle_hash hint: a sort-merge join would RE-SORT the corpus side
     // (the 100 TB table) every round — the hash build on the ≤roundBudget
     // selected side is tiny per partition and sort-free.
+    // parse ONLY rows that reach the parser in the reference pipeline —
+    // banned/io/generic failures never parse (`CrawlExecutor.scala:37-43`
+    // chains parse after a successful fetch), and skipping them here both
+    // matches the simulator's null extractedText and avoids paying the
+    // parse UDF for doomed rows (the `when` guard short-circuits per row).
     val fetched = selected.hint("shuffle_hash")
       .join(corpusN.select("urlNorm", "htmlStr", "lang"), Seq("urlNorm"), "left")
-      .withColumn("parsed", parseUdf(col("htmlStr"), col("host")))
       .withColumn("ioUntil", ioFailUntilUdf(col("lang")))
+      .withColumn("parsed",
+        when(col("htmlStr").isNotNull && col("lang") =!= "xx-ban" &&
+          col("lang") =!= "xx-gen" && !(col("ioUntil") > round),
+          parseUdf(col("htmlStr"), col("host"))))
       .withColumn("outcome",
         when(col("htmlStr").isNull, Outcome.NotFound)
           .when(col("lang") === "xx-ban", Outcome.Banned)
@@ -257,7 +265,8 @@ object CrawlEngine {
     val recObs = org.apache.spark.sql.Observation(s"records-v${version + 1}")
     val records = fetched.select(
       lit(round).as("round"), col("seq"), col("id"), col("urlNorm"),
-      col("outcome"), col("parsed.text").as("extractedText"),
+      col("outcome"),
+      when(col("outcome") === Outcome.Success, col("parsed.text")).as("extractedText"),
       when(col("outcome") === Outcome.Success, size(col("parsed.links")))
         .otherwise(lit(0)).cast("int").as("nNewLinks"))
       .observe(recObs,
