@@ -42,7 +42,7 @@ object Bench {
       lit(graft.core.TaskStatus.Wait).as("status"),
       lit(0).as("attempt"), lit(0).as("priority"),
       col("warcTs"), lit(0).as("discoveredRound"))
-    val hosts0 = Seq.empty[(String, Long)].toDF("host", "nextTick")
+    val hosts0 = Seq.empty[(String, Long, Int)].toDF("host", "nextTick", "failCount")
     store.commit(0, frontier0, hosts0, None, Map("nextRound" -> "0", "nextId" -> nPages.toString))
 
     val cfg = CrawlConfig(

@@ -45,13 +45,21 @@ case class FrontierEntry(
     status: String,
     attempt: Int,
     priority: Int,
-    discoveredRound: Int,
-    lastUpdate: Option[Long] // epoch millis; None = never leased
+    warcTs: Option[Long], // corpus capture time (micros), ranking key
+    discoveredRound: Int
+    // NOTE deliberately no lastUpdate: the engine is bulk-synchronous —
+    // a round either commits fully or not at all, so no row is ever
+    // observably "in progress" (the reference's lease timestamp,
+    // `MongoQueueTaskProvider.scala:104-108`, exists to recover from
+    // workers dying mid-batch; here F7/F8 fall out of the snapshot commit)
 )
 
-/** Per-host politeness state (`TorResourceController.scala:80-103` analog):
-  * a host may not be fetched again before `nextFetchTick`. */
-case class HostState(host: String, nextFetchTick: Long, failCount: Int)
+/** Per-host politeness + circuit-breaker state (TorResourceController
+  * analog): a host may not be fetched before `nextTick`; `failCount`
+  * accumulates fetch failures and at `CrawlConfig.maxHostFailures` the
+  * host is closed (D3 `NoResourcesAvailable`,
+  * `TorResourceController.scala:59-60,86-96`). */
+case class HostState(host: String, nextTick: Long, failCount: Int)
 
 /** A page in the Common-Crawl-style corpus (BASELINE.json input_hint). */
 case class PageRow(
@@ -82,6 +90,13 @@ case class CrawlConfig(
     politenessCenterTicks: Long = 1L, // RandomTimeout center (RandomTimeout.scala:8-14)
     politenessRadiusTicks: Long = 1L, // RandomTimeout radius
     banBackoffTicks: Long = 30L,   // 30 min hardcoded (TorResourceController.scala:115)
+    // D3 circuit breaker: a host whose cumulative fetch-failure count
+    // (ioFailed + genericFailed) reaches this cap is closed for good —
+    // the per-host analog of the resource pool's failCount →
+    // `NoResourcesAvailable` stop (`TorResourceController.scala:59-60,
+    // 86-96`; cap=3 in `worker.conf:20`). 0 disables (default: the
+    // reference ships it on the resource pool, not per host).
+    maxHostFailures: Int = 0,
     maxRounds: Int = 64,
     seed: Long = 42L,
     // R7 partitioned bloom URL-seen set: pre-filters the discovered-link

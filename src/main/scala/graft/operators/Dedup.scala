@@ -60,15 +60,32 @@ object Dedup {
     * (band, hash) → candidate pairs → exact Jaccard ≥ threshold. With
     * k=64, 16×4 banding, a pair at s=0.8 is missed with prob
     * (1-0.8⁴)¹⁶ ≈ 2e-4; at the planted-dup similarity (≥0.97) ≈ 3e-17 —
-    * the verify step makes precision exact, recall is the LSH curve. */
+    * the verify step makes precision exact, recall is the LSH curve.
+    *
+    * `maxBucketSize` bounds the candidate explosion of degenerate buckets
+    * (N boilerplate/empty docs hashing to one (band, bh) go N²/2 without
+    * it): buckets larger than the cap are DROPPED before the pair join, so
+    * per-bucket work is ≤ maxBucketSize²/2. A dropped bucket can only lose
+    * pairs inside a mega-cluster, which every other band still has 15
+    * chances to emit — and true mega-clusters are better handled as
+    * connected components than as all-pairs output. Not silent: inspect
+    * [[oversizedBuckets]] with the same arguments to see what was capped. */
   def minhashLsh(documents: DataFrame, n: Int = 3, k: Int = 64,
-                 bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                 bands: Int = 16, threshold: Double = 0.8,
+                 maxBucketSize: Int = 1 << 16): DataFrame = {
     require(k % bands == 0)
-    val rpb = k / bands
     val sigs = documents
       .select(col("doc_id"), explode(minhashBandsUdf(n, k, bands)(col("text"))).as("bk"))
       .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("bh"))
-    val candidates = sigs.as("a").join(sigs.as("b"),
+    // bucket-size guard: count per (band, bh), keep rows of sane buckets.
+    // The count and the join shuffle on the same key — co-partitioned,
+    // one extra narrow stage, no second pass over `documents`.
+    val sized = sigs.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .select(col("band"), col("bh"))
+    val kept = sigs.join(sized, Seq("band", "bh"))
+    val candidates = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -91,11 +108,19 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
     * chunks (a pair within Hamming distance 3 must agree on ≥1 chunk —
-    * pigeonhole), verified by true Hamming distance ≤ maxHamming. */
+    * pigeonhole), verified by true Hamming distance ≤ maxHamming.
+    *
+    * The 4-chunk banding only guarantees recall for maxHamming ≤ 3: at 4+
+    * a pair can differ in every chunk and silently vanish while the verify
+    * step makes the output LOOK exact — hence the hard require. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is exact only for maxHamming in [0,3], got $maxHamming")
+    // no persist: this is library code — the two self-join sides share the
+    // scan's exchange via ReuseExchange, and a cache here would leak past
+    // return (round-1 ADVICE)
     val fps = documents
       .select(col("doc_id"), simhashUdf(col("text")).as("fp"))
-      .persist()
     val chunks = fps.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("ck",

@@ -45,7 +45,10 @@ object Similarity {
     * Recall vs [[bruteForceTopK]] is asserted in SimilaritySpec. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
               centroidStride: Int = 50, nprobe: Int = 8): DataFrame = {
-    val p = prepared(embeddings).persist()
+    // no persist: prepared() is a narrow projection (re-running it costs one
+    // UDF pass, leaking a cache from library code costs executor memory
+    // forever — round-1 ADVICE); the centroid/query sides are tiny anyway
+    val p = prepared(embeddings)
     val centroids = p.filter(pmod(col("vec_id"), lit(centroidStride.toLong)) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // invert: assign each vector to its nearest centroid (broadcast centroids)

@@ -40,6 +40,13 @@ object CrawlEngine {
   val FetchOrder: Seq[Column] =
     Seq(col("priority").desc, col("warcTs").asc_nulls_last, col("id").asc)
 
+  /** `nextTick` sentinel for a host closed by the D3 circuit breaker
+    * (failCount ≥ maxHostFailures): never reopens. When every remaining
+    * wait row sits on a closed host the crawl stops — the bulk-synchronous
+    * analog of the reference's `NoResourcesAvailable` crawl stop
+    * (`TorResourceController.scala:59-60,86-96`). */
+  val DeadTick: Long = Int.MaxValue.toLong
+
   case class Parsed(text: Option[String], links: Seq[String])
 
   private val IoLang = "^xx-io(\\d+)$".r
@@ -134,7 +141,7 @@ object CrawlEngine {
       .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
         col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
-    val hosts0 = Seq.empty[(String, Long)].toDF("host", "nextTick")
+    val hosts0 = Seq.empty[(String, Long, Int)].toDF("host", "nextTick", "failCount")
     if (cfg.seenFilter) {
       val seen0 = graft.seen.BloomShards.update(
         graft.seen.BloomShards.empty(cfg.seenShards, cfg.seenExpectedPerShard, cfg.seenFpp),
@@ -203,10 +210,10 @@ object CrawlEngine {
                  Det.politenessDelay(host, r, cfg.politenessCenterTicks, cfg.politenessRadiusTicks),
                  rulesB.value.crawlDelayTicks(host))))
 
-    // B1 + F1: wait-status rows on open hosts
+    // B1 + F1: wait-status rows on open hosts (closed hosts carry DeadTick)
     val eligible = frontier
       .filter(col("status") === TaskStatus.Wait)
-      .join(hosts, Seq("host"), "left")
+      .join(hosts.select("host", "nextTick"), Seq("host"), "left")
       .filter(coalesce(col("nextTick"), lit(0L)) <= round)
       .drop("nextTick")
 
@@ -255,7 +262,13 @@ object CrawlEngine {
       .persist()
 
     val selectedCount = timed("fetch-join+classify")(fetched.count())
-    if (selectedCount == 0) { fetched.unpersist(blocking = true); return None }
+    if (selectedCount == 0) {
+      // the nothing-eligible path repeats on politeness tick jumps — it must
+      // release BOTH caches or each empty round pins a frontier-sized cache
+      fetched.unpersist(blocking = true)
+      rankedCache.unpersist(blocking = true)
+      return None
+    }
 
     // fetch records (the crawl-order contract surface). The D1 per-outcome
     // report rides the results write as an Observation and lands in the
@@ -292,7 +305,8 @@ object CrawlEngine {
     val seenShards =
       if (!cfg.seenFilter) None
       else Some(
-        if (store.hasSeen(version)) graft.seen.BloomShards.fromDF(store.readSeen(version))
+        if (store.hasSeen(version))
+          graft.seen.BloomShards.fromDF(store.readSeen(version), Some(cfg.seenShards))
         else { // resumed from a pre-filter snapshot: rebuild from frontier
           graft.seen.BloomShards.build(frontier, "urlNorm", cfg.seenShards,
             cfg.seenExpectedPerShard, cfg.seenFpp)
@@ -364,13 +378,24 @@ object CrawlEngine {
         sum(when(col("status") === TaskStatus.Wait, 1L).otherwise(0L)).as("waits"),
         sum(when(col("discoveredRound") === round + 1, 1L).otherwise(0L)).as("newLinks"))
 
-    // F2/F3 host-state rewrite
+    // F2/F3 host-state rewrite + D3 failCount circuit breaker: fetch
+    // failures (io + generic) accumulate per host; at the cap the host is
+    // closed for good (nextTick = DeadTick).
     val hostUpdates = fetched.groupBy(col("host"))
-      .agg(max(when(col("outcome") === Outcome.Banned, 1).otherwise(0)).as("bannedFlag"))
+      .agg(
+        max(when(col("outcome") === Outcome.Banned, 1).otherwise(0)).as("bannedFlag"),
+        sum(when(col("outcome").isin(Outcome.IoFailed, Outcome.GenericFailed), 1)
+          .otherwise(0)).cast("int").as("nFails"))
       .withColumn("newTick", reopenTickUdf(col("host"), col("bannedFlag") === 1, lit(round)))
-      .select(col("host"), col("newTick"))
+      .select(col("host"), col("newTick"), col("nFails"))
     val hosts2 = hosts.join(hostUpdates, Seq("host"), "full_outer")
-      .select(col("host"), coalesce(col("newTick"), col("nextTick")).as("nextTick"))
+      .withColumn("failCount2",
+        (coalesce(col("failCount"), lit(0)) + coalesce(col("nFails"), lit(0))).cast("int"))
+      .select(col("host"),
+        when(lit(cfg.maxHostFailures > 0) && col("failCount2") >= cfg.maxHostFailures,
+          lit(DeadTick))
+          .otherwise(coalesce(col("newTick"), col("nextTick"))).as("nextTick"),
+        col("failCount2").as("failCount"))
 
     // R7 shard update: cost ∝ new links this round, then persisted with
     // the snapshot (the URL-seen set resumes exactly with the frontier)
@@ -447,12 +472,15 @@ object CrawlEngine {
             waitsKnown = out.waitsRemaining
           case None =>
             // nothing eligible: jump to the earliest reopen tick among
-            // hosts that still hold waits (pure function of state)
+            // hosts that still hold waits (pure function of state). If
+            // every such host is closed (DeadTick), the crawl has no
+            // resources left — stop (D3 NoResourcesAvailable).
             val minNext = store.readFrontier(version)
               .filter(col("status") === TaskStatus.Wait)
-              .join(store.readHosts(version), Seq("host"), "left")
+              .join(store.readHosts(version).select("host", "nextTick"), Seq("host"), "left")
               .agg(min(coalesce(col("nextTick"), lit(0L)))).head().getLong(0)
-            round = math.max(round + 1, minNext.toInt)
+            if (minNext >= DeadTick) running = false
+            else round = math.max(round + 1, minNext.toInt)
         }
       }
     }

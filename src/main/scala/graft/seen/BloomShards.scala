@@ -98,11 +98,20 @@ object BloomShards {
     shards.bytes.zipWithIndex.map { case (b, i) => (i, b) }.toSeq.toDF("shard", "bytes")
   }
 
-  /** (shard, bytes) rows → Shards. */
-  def fromDF(df: DataFrame): Shards = {
+  /** (shard, bytes) rows → Shards. Validates that shard ids are exactly
+    * 0..n-1 with non-null bytes: a partially-written or duplicated shard
+    * row would otherwise silently change the probe modulus and break the
+    * no-false-negative invariant (round-1 ADVICE). Pass `expectedShards`
+    * (from the snapshot manifest) to also pin n itself. */
+  def fromDF(df: DataFrame, expectedShards: Option[Int] = None): Shards = {
     val rows = df.select(col("shard"), col("bytes")).collect()
       .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
     val n = rows.length
+    expectedShards.foreach(e => require(n == e,
+      s"seen-shard snapshot has $n rows, manifest says $e — refusing a wrong probe modulus"))
+    require(rows.map(_._1).sorted.sameElements(0 until n),
+      s"seen-shard ids are not exactly 0..${n - 1}: ${rows.map(_._1).sorted.mkString(",")}")
+    require(rows.forall(_._2 != null), "seen-shard snapshot contains null filter bytes")
     val arr = new Array[Array[Byte]](n)
     rows.foreach { case (i, b) => arr(i) = b }
     Shards(n, arr)
@@ -167,9 +176,11 @@ object BloomShards {
   def notSeen(candidates: DataFrame, seen: DataFrame, keyCol: String, nShards: Int = 16): DataFrame = {
     val spark = candidates.sparkSession
     val shards = build(seen, keyCol, nShards)
+    // no persist: the two branches of the union share the candidate
+    // subplan's exchanges (ReuseExchange); only the narrow probe re-runs,
+    // and library code must not leak caches past return (round-1 ADVICE)
     val withFlag = candidates
       .withColumn("__maybe", probeCol(spark, shards, col(keyCol)))
-      .persist()
     // definite-new rows skip the join entirely; only possible members are
     // confirmed by the exact anti-join (bloom FP safety)
     val sure = withFlag.filter(not(col("__maybe"))).drop("__maybe")

@@ -103,6 +103,8 @@ object ReferenceSimulator {
 
     val frontier = mutable.LinkedHashMap.empty[String, SimEntry] // urlNorm → entry
     val hostNext = mutable.Map.empty[String, Long]
+    val hostFail = mutable.Map.empty[String, Int] // D3 circuit breaker
+    val DeadTick = Int.MaxValue.toLong
     var nextId = 0L
 
     def insert(rawUrl: String, priority: Int, round: Int): Unit =
@@ -129,9 +131,11 @@ object ReferenceSimulator {
       else {
         val eligible = waits.filter(e => round >= hostNext.getOrElse(e.host, 0L))
         if (eligible.isEmpty) {
-          // jump to the earliest reopen tick among hosts that still have waits
+          // jump to the earliest reopen tick among hosts that still have
+          // waits; if every such host is closed → NoResourcesAvailable stop
           val minNext = waits.map(e => hostNext.getOrElse(e.host, 0L)).min
-          round = math.max(round + 1, minNext.toInt)
+          if (minNext >= DeadTick) done = true
+          else round = math.max(round + 1, minNext.toInt)
         } else {
           // R1 per-host top-k, then R2 global cut, same order
           val perHost = eligible.groupBy(_.host).values.flatMap { es =>
@@ -173,14 +177,21 @@ object ReferenceSimulator {
             UrlNormalizer.resolve(parentUrl, href).foreach(n => insert(n, 0, round + 1))
           }
 
-          // politeness: every fetched host parks (F2); banned overrides (F3)
+          // politeness: every fetched host parks (F2); banned overrides
+          // (F3); failCount at cap closes the host for good (D3)
+          val failsByHost = roundFetches
+            .filter(f => f.outcome == Outcome.IoFailed || f.outcome == Outcome.GenericFailed)
+            .groupBy(f => frontier(f.urlNorm).host).view.mapValues(_.size).toMap
           selected.map(_.host).distinct.foreach { h =>
+            hostFail(h) = hostFail.getOrElse(h, 0) + failsByHost.getOrElse(h, 0)
             val delay =
               if (bannedHosts(h)) cfg.banBackoffTicks
               else math.max(
                 Det.politenessDelay(h, round, cfg.politenessCenterTicks, cfg.politenessRadiusTicks),
                 crawlDelayTicks(h))
-            hostNext(h) = round + 1 + delay
+            hostNext(h) =
+              if (cfg.maxHostFailures > 0 && hostFail(h) >= cfg.maxHostFailures) DeadTick
+              else round + 1 + delay
           }
           round += 1
         }

@@ -32,6 +32,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("LSH bucket guard bounds a pathological all-identical corpus") {
+    import spark.implicits._
+    // 40 byte-identical docs: every (band, bh) bucket holds all 40 docs.
+    val same = (0L until 40L).map(i => (i, "the same boilerplate text repeated again and again"))
+      .toDF("doc_id", "text")
+    // guard off (cap above bucket size): the true answer is all C(40,2) pairs
+    val unguarded = Dedup.minhashLsh(same, maxBucketSize = 100).count()
+    assert(unguarded == 40L * 39 / 2)
+    // guard on: every bucket is oversize → dropped → zero candidate pairs
+    // (the bounded-candidates property: per-bucket work ≤ cap²/2, never N²)
+    val guarded = Dedup.minhashLsh(same, maxBucketSize = 10).count()
+    assert(guarded == 0)
+    // and the guard must not disturb a sane corpus (buckets ≪ default cap)
+    val exact = Dedup.ngramJaccard(docs, 3, 0.8).collect().length
+    val lsh = Dedup.minhashLsh(docs, 3, 64, 16, 0.8).collect().length
+    assert(lsh == exact)
+  }
+
+  test("simhash rejects maxHamming the banding cannot guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxHamming = 4)
+    }
+  }
+
   test("jaccard is symmetric-safe (a<b) and within [0,1]") {
     Dedup.ngramJaccard(docs, 3, 0.5).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))

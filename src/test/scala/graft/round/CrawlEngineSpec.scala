@@ -95,6 +95,32 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
       new SnapshotStore(bloom, spark).latestVersion.get))
   }
 
+  test("D3 failCount circuit breaker: engine matches simulator and stops on dead hosts") {
+    // deep-chain spec: zero politeness + big budgets so the next-page link
+    // chain reaches host0's xx-gen page (pageIdx 21) within a few rounds
+    val spec3 = CorpusGen.Spec(nHosts = 2, pagesPerHost = 40)
+    val cfg3 = CrawlConfig(hostBudgetPerRound = 4, roundBudget = 50,
+      politenessCenterTicks = 0, politenessRadiusTicks = 0,
+      maxRounds = 60, maxHostFailures = 1)
+    val stateDir = tmpDir("d3")
+    val corpus = CorpusTable.create(spark, spec3)
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec3), cfg3)
+    val sim3 = ReferenceSimulator.run(CorpusGen.simCorpus(spec3), CorpusGen.seeds(spec3), cfg3)
+    val (engineSeq, _) = engineFetches(stateDir)
+    assert(engineSeq == sim3.fetches.map(f => (f.round, f.seq, f.urlNorm, f.outcome)))
+    // the breaker must actually bite: some host died with waits left behind
+    val deadHosts = sim3.hostNext.filter(_._2 >= Int.MaxValue.toLong).keySet
+    assert(deadHosts.nonEmpty, "corpus has io/gen failures — cap 1 must close a host")
+    assert(sim3.frontier.exists(e => e.status == TaskStatus.Wait && deadHosts(e.host)),
+      "a closed host should strand wait rows (NoResourcesAvailable semantics)")
+    val store = new SnapshotStore(stateDir, spark)
+    val engineWaitHosts = store.readFrontier(store.latestVersion.get)
+      .filter(org.apache.spark.sql.functions.col("status") === TaskStatus.Wait)
+      .select("host").distinct().collect().map(_.getString(0)).toSet
+    assert(deadHosts.subsetOf(engineWaitHosts))
+  }
+
   test("kill-after-round-k resume produces an identical crawl (F7/F8)") {
     val full = tmpDir("full"); val resumed = tmpDir("resumed")
     val corpus = CorpusTable.create(spark, spec)
