@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,6 +31,21 @@ object UrlExpressions {
   def surtHost(u: UTF8String): UTF8String =
     if (u == null) null
     else UTF8String.fromString(UrlNormalizer.surtHost(UrlNormalizer.hostOf(u.toString)))
+
+  def hostOf(u: UTF8String): UTF8String =
+    if (u == null) null
+    else UTF8String.fromString(UrlNormalizer.hostOf(u.toString))
+
+  def pathOf(u: UTF8String): UTF8String =
+    if (u == null) null
+    else UTF8String.fromString(UrlNormalizer.pathOf(u.toString))
+
+  def resolveOrNull(base: UTF8String, href: UTF8String): UTF8String =
+    if (base == null || href == null) null
+    else UrlNormalizer.resolve(base.toString, href.toString) match {
+      case Some(n) => UTF8String.fromString(n)
+      case None => null
+    }
 }
 
 /** RFC 3986 normalization (null ⇒ unfetchable), codegen'd. */
@@ -73,16 +88,94 @@ case class SurtHostExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `SparkSessionExtensions` hook registering the native URL functions. */
+/** Host of a normalized URL, codegen'd. */
+case class UrlHostOfExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_url_host"
+
+  override def nullSafeEval(input: Any): Any =
+    UrlExpressions.hostOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = UrlExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.hostOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlHostOfExpr =
+    copy(child = newChild)
+}
+
+/** Path (sans query/fragment) of a normalized URL, codegen'd. */
+case class UrlPathOfExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_url_path"
+
+  override def nullSafeEval(input: Any): Any =
+    UrlExpressions.pathOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = UrlExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.pathOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlPathOfExpr =
+    copy(child = newChild)
+}
+
+/** Resolve a (possibly relative) href against a base URL and normalize
+  * (null ⇒ unresolvable), codegen'd — the H2→H4 link-discovery hot path. */
+case class UrlResolveExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_url_resolve"
+
+  override def nullSafeEval(base: Any, href: Any): Any =
+    UrlExpressions.resolveOrNull(base.asInstanceOf[UTF8String], href.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = UrlExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"""
+         |${ev.value} = $helper.resolveOrNull($b, $h);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolveExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column builders over the native expressions — what the engine calls
+  * directly (no function-registry round trip, no UDF serialization; the
+  * call stays inside the surrounding WholeStageCodegen span). */
+object UrlFunctions {
+  import org.apache.spark.sql.{Column, GraftBridge}
+  private def e(c: Column): Expression = GraftBridge.expression(c)
+
+  def urlNormalize(u: Column): Column = GraftBridge.column(UrlNormalizeExpr(e(u)))
+  def surtHost(u: Column): Column = GraftBridge.column(SurtHostExpr(e(u)))
+  def urlHost(u: Column): Column = GraftBridge.column(UrlHostOfExpr(e(u)))
+  def urlPath(u: Column): Column = GraftBridge.column(UrlPathOfExpr(e(u)))
+  def urlResolve(base: Column, href: Column): Column =
+    GraftBridge.column(UrlResolveExpr(e(base), e(href)))
+}
+
+/** `SparkSessionExtensions` hook registering the native URL functions for
+  * SQL users (`spark.sql.extensions=graft.functions.expressions.
+  * GraftExtensions`); Scala callers use [[UrlFunctions]] directly. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_url_normalize"),
-      new ExpressionInfo(classOf[UrlNormalizeExpr].getName, "graft_url_normalize"),
-      (children: Seq[Expression]) => UrlNormalizeExpr(children.head)))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_surt_host"),
-      new ExpressionInfo(classOf[SurtHostExpr].getName, "graft_surt_host"),
-      (children: Seq[Expression]) => SurtHostExpr(children.head)))
+    def inject(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder))
+    inject("graft_url_normalize", classOf[UrlNormalizeExpr], cs => UrlNormalizeExpr(cs.head))
+    inject("graft_surt_host", classOf[SurtHostExpr], cs => SurtHostExpr(cs.head))
+    inject("graft_url_host", classOf[UrlHostOfExpr], cs => UrlHostOfExpr(cs.head))
+    inject("graft_url_path", classOf[UrlPathOfExpr], cs => UrlPathOfExpr(cs.head))
+    inject("graft_url_resolve", classOf[UrlResolveExpr], cs => UrlResolveExpr(cs(0), cs(1)))
   }
 }

@@ -51,14 +51,11 @@ object CrawlEngine {
 
   private val IoLang = "^xx-io(\\d+)$".r
 
-  // ---- leaf scalar functions (UDFs; candidates for codegen Expressions) ----
-  val normalizeUdf = udf((u: String) =>
-    Option(u).flatMap(UrlNormalizer.normalize).orNull)
-  val resolveUdf = udf((base: String, href: String) =>
-    (for { b <- Option(base); h <- Option(href); r <- UrlNormalizer.resolve(b, h) } yield r).orNull)
-  val hostOfUdf = udf((u: String) => Option(u).map(UrlNormalizer.hostOf).orNull)
-  val surtHostUdf = udf((h: String) => Option(h).map(UrlNormalizer.surtHost).orNull)
-  val pathOfUdf = udf((u: String) => Option(u).map(UrlNormalizer.pathOf).orNull)
+  // ---- leaf URL scalar functions: native codegen'd Catalyst expressions
+  // (graft.functions.expressions) — unlike UDFs they keep the rank/dedup
+  // projections inside WholeStageCodegen and skip the serialization round
+  // trip on every row of the link-discovery path.
+  import graft.functions.expressions.UrlFunctions.{urlNormalize, urlHost, urlPath, urlResolve}
   /** Parse html, keeping only links passing the reference predicate
     * (HabrParser.scala:22-26) against the parent host. */
   val parseUdf = udf((html: String, host: String) =>
@@ -91,7 +88,7 @@ object CrawlEngine {
     * the fetch join (ReadSchema stays narrow). */
   def corpusNorm(corpus: DataFrame): DataFrame =
     corpus.select(
-      normalizeUdf(col("url")).as("urlNorm"),
+      urlNormalize(col("url")).as("urlNorm"),
       unix_micros(col("warc_ts")).as("warcTs"),
       col("html").cast("string").as("htmlStr"),
       col("lang"))
@@ -109,8 +106,8 @@ object CrawlEngine {
 
   def loadHostRules(spark: SparkSession, corpusN: DataFrame): HostRules = {
     val robotsRows = corpusN
-      .filter(pathOfUdf(col("urlNorm")) === "/robots.txt")
-      .select(hostOfUdf(col("urlNorm")).as("host"),
+      .filter(urlPath(col("urlNorm")) === "/robots.txt")
+      .select(urlHost(col("urlNorm")).as("host"),
         parseUdf(col("htmlStr"), lit("")).getField("text").as("body"))
       .collect()
     HostRules(robotsRows.map(r => r.getString(0) -> Robots.parse(r.getString(1))).toMap)
@@ -293,7 +290,7 @@ object CrawlEngine {
       .filter(col("outcome") === Outcome.Success)
       .select(col("seq"), col("urlNorm").as("parentUrl"),
         posexplode(col("parsed.links")).as(Seq("pos", "href")))
-      .withColumn("newNorm", resolveUdf(col("parentUrl"), col("href")))
+      .withColumn("newNorm", urlResolve(col("parentUrl"), col("href")))
       .filter(col("newNorm").isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("newNorm")).orderBy(col("seq"), col("pos"))))
@@ -332,7 +329,7 @@ object CrawlEngine {
       .select(
         (col("idx") + lit(nextId - 1)).as("id"),
         col("newNorm").as("url"), col("newNorm").as("urlNorm"),
-        hostOfUdf(col("newNorm")).as("host"),
+        urlHost(col("newNorm")).as("host"),
         when(robotsAllowedUdf(col("newNorm")), TaskStatus.Wait)
           .otherwise(TaskStatus.Skipped).as("status"),
         lit(0).as("attempt"), lit(0).as("priority"),

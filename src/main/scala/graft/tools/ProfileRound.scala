@@ -96,7 +96,7 @@ object ProfileRound {
       .filter(col("outcome") === Outcome.Success)
       .select(col("seq"), col("urlNorm").as("parentUrl"),
         posexplode(col("parsed.links")).as(Seq("pos", "href")))
-      .withColumn("newNorm", CrawlEngine.resolveUdf(col("parentUrl"), col("href")))
+      .withColumn("newNorm", graft.functions.expressions.UrlFunctions.urlResolve(col("parentUrl"), col("href")))
       .filter(col("newNorm").isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("newNorm")).orderBy(col("seq"), col("pos"))))
@@ -106,7 +106,7 @@ object ProfileRound {
       .select(
         (col("idx").cast("long") + lit(1000000L)).as("id"),
         col("newNorm").as("url"), col("newNorm").as("urlNorm"),
-        CrawlEngine.hostOfUdf(col("newNorm")).as("host"),
+        graft.functions.expressions.UrlFunctions.urlHost(col("newNorm")).as("host"),
         lit(TaskStatus.Wait).as("status"),
         lit(0).as("attempt"), lit(0).as("priority"),
         lit(round + 1).as("discoveredRound"))

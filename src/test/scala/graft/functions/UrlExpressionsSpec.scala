@@ -40,6 +40,40 @@ class UrlExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getString(0) == "com,example,sub,www")
   }
 
+  test("UrlFunctions column builders agree with the pure normalizer (host/path/resolve)") {
+    import spark.implicits._
+    import graft.functions.expressions.UrlFunctions._
+    val out = urls.toDF("u")
+      .select(col("u"), urlNormalize(col("u")).as("n"))
+      .filter(col("n").isNotNull)
+      .select(col("n"), urlHost(col("n")).as("h"), urlPath(col("n")).as("p"),
+        urlResolve(col("n"), lit("../rel/x")).as("r"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getString(0)
+      assert(r.getString(1) == UrlNormalizer.hostOf(n))
+      assert(r.getString(2) == UrlNormalizer.pathOf(n))
+      assert(Option(r.getString(3)) == UrlNormalizer.resolve(n, "../rel/x"))
+    }
+  }
+
+  test("engine link-discovery projection stays inside whole-stage codegen") {
+    import spark.implicits._
+    import graft.functions.expressions.UrlFunctions._
+    // the shape of CrawlEngine's discovered-link projection: resolve + host
+    val df = spark.range(1000)
+      .select(concat(lit("https://h"), col("id") % 7, lit(".example/p")).as("parentUrl"),
+        concat(lit("/p"), col("id")).as("href"))
+      .select(urlResolve(col("parentUrl"), col("href")).as("newNorm"))
+      .filter(col("newNorm").isNotNull)
+      .select(col("newNorm"), urlHost(col("newNorm")).as("host"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"not codegen'd:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"udf found in plan:\n$plan")
+  }
+
   test("expression runs inside whole-stage codegen (no UDF barrier)") {
     import spark.implicits._
     val df = spark.range(1000)
