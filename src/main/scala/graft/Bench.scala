@@ -50,7 +50,7 @@ object Bench {
       hostBudgetPerRound = math.max(64, 2 * roundBudget / nHosts),
       roundBudget = roundBudget,
       politenessCenterTicks = 0, politenessRadiusTicks = 0, maxRounds = rounds)
-    val rules = CrawlEngine.HostRules(Map.empty)
+    val rules = CrawlEngine.emptyHostRules(spark)
     val out = Vector.newBuilder[(Long, Double)]
     var fetched = 0L
     var v = 0

@@ -73,15 +73,49 @@ object CrawlEngine {
     case _ => 0
   })
 
-  /** Static per-host robots rules read from the corpus (north-rule H5). */
-  final case class HostRules(rules: Map[String, Robots.Rules]) extends Serializable {
-    def allowed(urlNorm: String): Boolean = {
-      val host = UrlNormalizer.hostOf(urlNorm)
-      rules.get(host).forall(r => Robots.allowed(r, UrlNormalizer.pathOf(urlNorm)))
-    }
-    def crawlDelayTicks(host: String): Long =
-      rules.get(host).flatMap(_.crawlDelay).map(d => math.ceil(d).toLong).getOrElse(0L)
+  /** Parsed robots rules row (north-rule H5): array columns instead of a
+    * driver Map — rules live in a per-host Dataset JOINED where needed, so
+    * host count never bounds driver memory (round-1 scale-killer 2). */
+  case class RobotsRow(rbAllow: Seq[String], rbDisallow: Seq[String], rbDelayTicks: Long)
+  val robotsParseUdf = udf((body: String) => {
+    val r = Robots.parse(Option(body).getOrElse(""))
+    RobotsRow(r.allow, r.disallow,
+      r.crawlDelay.map(d => math.ceil(d).toLong).getOrElse(0L))
+  })
+  /** RFC 9309 longest-match verdict over the joined rule arrays; hosts
+    * without a robots row (null arrays after the left join) allow all. */
+  val robotsAllowedUdf = udf((path: String, allow: Seq[String], disallow: Seq[String]) =>
+    allow == null && disallow == null || Robots.allowed(
+      Robots.Rules(
+        Option(allow).map(_.toVector).getOrElse(Vector.empty),
+        Option(disallow).map(_.toVector).getOrElse(Vector.empty), None),
+      path))
+
+  /** Per-host robots rules parsed from the corpus' robots.txt rows —
+    * entirely in executors, never collected. One row per host that serves
+    * robots.txt: (host, rbAllow, rbDisallow, rbDelayTicks). */
+  def hostRules(spark: SparkSession, corpusN: DataFrame): DataFrame =
+    corpusN
+      .filter(urlPath(col("urlNorm")) === "/robots.txt")
+      .select(urlHost(col("urlNorm")).as("host"),
+        parseUdf(col("htmlStr"), lit("")).getField("text").as("body"))
+      .select(col("host"), robotsParseUdf(col("body")).as("r"))
+      .select(col("host"), col("r.rbAllow").as("rbAllow"),
+        col("r.rbDisallow").as("rbDisallow"), col("r.rbDelayTicks").as("rbDelayTicks"))
+
+  def emptyHostRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Seq[String], Seq[String], Long)]
+      .toDF("host", "rbAllow", "rbDisallow", "rbDelayTicks")
   }
+
+  /** Deterministic politeness delay as a pure column over (host, round) —
+    * bit-identical to Det.politenessDelay because Spark's xxhash64 IS
+    * Det.xxhash64 (seed 42); proven by the politeness_schedule oracle. */
+  def politenessDelayCol(host: Column, round: Int, center: Long, radius: Long): Column =
+    if (radius <= 0) lit(center)
+    else lit(center - radius) +
+      pmod(xxhash64(concat(host, lit(":"), lit(round.toString))), lit(2 * radius + 1))
 
   /** Normalized corpus projection: the only columns any round ever needs.
     * At scale this is the Iceberg page table with `html` pruned except in
@@ -104,21 +138,12 @@ object CrawlEngine {
     corpusNorm(corpus).repartition(parts, col("urlNorm")).persist()
   }
 
-  def loadHostRules(spark: SparkSession, corpusN: DataFrame): HostRules = {
-    val robotsRows = corpusN
-      .filter(urlPath(col("urlNorm")) === "/robots.txt")
-      .select(urlHost(col("urlNorm")).as("host"),
-        parseUdf(col("htmlStr"), lit("")).getField("text").as("body"))
-      .collect()
-    HostRules(robotsRows.map(r => r.getString(0) -> Robots.parse(r.getString(1))).toMap)
-  }
-
   /** Bootstrap snapshot v=0 from a seed list. */
   def bootstrap(
       spark: SparkSession,
       store: SnapshotStore,
       corpusN: DataFrame,
-      hostRules: HostRules,
+      rulesDf: DataFrame,
       seeds: Seq[(String, Int)],
       cfg: CrawlConfig = CrawlConfig()): Unit = {
     import spark.implicits._
@@ -126,24 +151,26 @@ object CrawlEngine {
     val seen = scala.collection.mutable.Set.empty[String]
     val rows = seeds.flatMap { case (raw, prio) =>
       UrlNormalizer.normalize(raw).filter(seen.add).map { n =>
-        val host = UrlNormalizer.hostOf(n)
-        val status = if (hostRules.allowed(n)) TaskStatus.Wait else TaskStatus.Skipped
-        (raw, n, host, status, prio)
+        (raw, n, UrlNormalizer.hostOf(n), prio)
       }
-    }.zipWithIndex.map { case ((raw, n, host, status, prio), i) =>
-      (i.toLong, raw, n, host, status, 0, prio, 0)
+    }.zipWithIndex.map { case ((raw, n, host, prio), i) =>
+      (i.toLong, raw, n, host, 0, prio, 0)
     }
-    val seedDf = rows.toDF("id", "url", "urlNorm", "host", "status", "attempt", "priority", "discoveredRound")
+    val seedDf = rows.toDF("id", "url", "urlNorm", "host", "attempt", "priority", "discoveredRound")
     val frontier0 = seedDf
+      .join(rulesDf, Seq("host"), "left")
+      .withColumn("status",
+        when(robotsAllowedUdf(urlPath(col("urlNorm")), col("rbAllow"), col("rbDisallow")),
+          TaskStatus.Wait).otherwise(TaskStatus.Skipped))
       .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
         col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
     val hosts0 = Seq.empty[(String, Long, Int)].toDF("host", "nextTick", "failCount")
     if (cfg.seenFilter) {
-      val seen0 = graft.seen.BloomShards.update(
-        graft.seen.BloomShards.empty(cfg.seenShards, cfg.seenExpectedPerShard, cfg.seenFpp),
-        rows.map(_._3).toDF("urlNorm"), "urlNorm")
-      store.writeSeen(0, graft.seen.BloomShards.toDF(spark, seen0))
+      val seen0 = graft.seen.BloomShards.updateDf(
+        graft.seen.BloomShards.emptyDf(spark, cfg.seenShards, cfg.seenExpectedPerShard, cfg.seenFpp),
+        rows.map(_._3).toDF("urlNorm"), "urlNorm", cfg.seenShards)
+      store.writeSeen(0, seen0)
     }
     store.commit(0, frontier0, hosts0, None,
       Map("nextRound" -> "0", "nextId" -> rows.size.toString))
@@ -190,7 +217,7 @@ object CrawlEngine {
       spark: SparkSession,
       store: SnapshotStore,
       corpusN: DataFrame,
-      hostRules: HostRules,
+      rulesDf: DataFrame,
       cfg: CrawlConfig,
       version: Int, // previous committed snapshot
       round: Int,
@@ -199,13 +226,6 @@ object CrawlEngine {
 
     val frontier = store.readFrontier(version)
     val hosts = store.readHosts(version)
-    val rulesB = spark.sparkContext.broadcast(hostRules)
-    val robotsAllowedUdf = udf((u: String) => rulesB.value.allowed(u))
-    val reopenTickUdf = udf((host: String, banned: Boolean, r: Int) =>
-      r + 1 + (if (banned) cfg.banBackoffTicks
-               else math.max(
-                 Det.politenessDelay(host, r, cfg.politenessCenterTicks, cfg.politenessRadiusTicks),
-                 rulesB.value.crawlDelayTicks(host))))
 
     // B1 + F1: wait-status rows on open hosts (closed hosts carry DeadTick)
     val eligible = frontier
@@ -299,25 +319,30 @@ object CrawlEngine {
     // shards have never seen skip the anti-join entirely (no false
     // negatives ⇒ sure-new); only "maybe" rows pay the exact confirm, so
     // the per-round anti-join input shrinks from all-links to ~FP-rate.
+    // Shards stay a (shard, bytes) Dataset end to end (BloomShards
+    // distributed path): candidate keys meet their shard's filter bytes in
+    // a cogroup, so nothing ∝ seen-set size ever touches the driver or a
+    // broadcast (round-1 scale-killer 3).
     val seenShards =
       if (!cfg.seenFilter) None
       else Some(
-        if (store.hasSeen(version))
-          graft.seen.BloomShards.fromDF(store.readSeen(version), Some(cfg.seenShards))
-        else { // resumed from a pre-filter snapshot: rebuild from frontier
-          graft.seen.BloomShards.build(frontier, "urlNorm", cfg.seenShards,
-            cfg.seenExpectedPerShard, cfg.seenFpp)
-        })
+        if (store.hasSeen(version)) store.readSeen(version)
+        else // resumed from a pre-filter snapshot: rebuild from frontier
+          graft.seen.BloomShards.buildDf(frontier.select("urlNorm"), "urlNorm",
+            cfg.seenShards, cfg.seenExpectedPerShard, cfg.seenFpp))
     // (anti-joins hinted shuffle_hash for the same no-re-sort reason)
     val seenSet = frontier.select(col("urlNorm").as("newNorm")).hint("shuffle_hash")
     val newLinks = seenShards match {
       case None =>
         candidates.join(seenSet, Seq("newNorm"), "left_anti")
-      case Some(shards) =>
-        val flagged = candidates.withColumn("__maybe",
-          graft.seen.BloomShards.probeCol(spark, shards, col("newNorm")))
-        val sure = flagged.filter(not(col("__maybe"))).drop("__maybe")
-        val confirmed = flagged.filter(col("__maybe")).drop("__maybe")
+      case Some(shardsDf) =>
+        val flags = graft.seen.BloomShards
+          .probeFlagsDf(candidates.select(col("newNorm")), "newNorm", shardsDf, cfg.seenShards)
+          .withColumnRenamed("maybe", "__maybe")
+        // candidates' newNorm is unique (rn=1 window) so this join is 1:1
+        val flagged = candidates.join(flags, Seq("newNorm"), "left")
+        val sure = flagged.filter(not(coalesce(col("__maybe"), lit(false)))).drop("__maybe")
+        val confirmed = flagged.filter(coalesce(col("__maybe"), lit(false))).drop("__maybe")
           .join(seenSet, Seq("newNorm"), "left_anti")
         sure.unionByName(confirmed)
     }
@@ -325,15 +350,21 @@ object CrawlEngine {
     // same mechanism as the R2 cut
     val (newRanked, newRankedCache) =
       withGlobalSeq(newLinks, Seq(col("seq"), col("pos")), parts, "idx")
+    // robots verdict via a left join on the per-host rules Dataset (never a
+    // driver map): new links per round × tiny-or-sharded rules — AQE
+    // broadcasts small rule tables, shuffles huge ones, either way the
+    // driver holds nothing
     val discovered = newRanked
       .select(
         (col("idx") + lit(nextId - 1)).as("id"),
         col("newNorm").as("url"), col("newNorm").as("urlNorm"),
         urlHost(col("newNorm")).as("host"),
-        when(robotsAllowedUdf(col("newNorm")), TaskStatus.Wait)
-          .otherwise(TaskStatus.Skipped).as("status"),
         lit(0).as("attempt"), lit(0).as("priority"),
         lit(round + 1).as("discoveredRound"))
+      .join(rulesDf, Seq("host"), "left")
+      .withColumn("status",
+        when(robotsAllowedUdf(urlPath(col("urlNorm")), col("rbAllow"), col("rbDisallow")),
+          TaskStatus.Wait).otherwise(TaskStatus.Skipped))
       .hint("shuffle_hash") // build on the new-link side, never sort the corpus
       .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
@@ -378,12 +409,20 @@ object CrawlEngine {
     // F2/F3 host-state rewrite + D3 failCount circuit breaker: fetch
     // failures (io + generic) accumulate per host; at the cap the host is
     // closed for good (nextTick = DeadTick).
+    // reopen tick as pure columns: ban backoff, else max(deterministic
+    // politeness delay, robots crawl-delay joined from the rules Dataset)
     val hostUpdates = fetched.groupBy(col("host"))
       .agg(
         max(when(col("outcome") === Outcome.Banned, 1).otherwise(0)).as("bannedFlag"),
         sum(when(col("outcome").isin(Outcome.IoFailed, Outcome.GenericFailed), 1)
           .otherwise(0)).cast("int").as("nFails"))
-      .withColumn("newTick", reopenTickUdf(col("host"), col("bannedFlag") === 1, lit(round)))
+      .join(rulesDf.select(col("host"), col("rbDelayTicks")), Seq("host"), "left")
+      .withColumn("newTick",
+        lit(round + 1) + when(col("bannedFlag") === 1, lit(cfg.banBackoffTicks))
+          .otherwise(greatest(
+            politenessDelayCol(col("host"), round,
+              cfg.politenessCenterTicks, cfg.politenessRadiusTicks),
+            coalesce(col("rbDelayTicks"), lit(0L)))))
       .select(col("host"), col("newTick"), col("nFails"))
     val hosts2 = hosts.join(hostUpdates, Seq("host"), "full_outer")
       .withColumn("failCount2",
@@ -394,12 +433,13 @@ object CrawlEngine {
           .otherwise(coalesce(col("newTick"), col("nextTick"))).as("nextTick"),
         col("failCount2").as("failCount"))
 
-    // R7 shard update: cost ∝ new links this round, then persisted with
-    // the snapshot (the URL-seen set resumes exactly with the frontier)
-    seenShards.foreach { shards =>
-      val seen2 = timed("seen-update")(
-        graft.seen.BloomShards.update(shards, discovered.select("urlNorm"), "urlNorm"))
-      store.writeSeen(version + 1, graft.seen.BloomShards.toDF(spark, seen2))
+    // R7 shard update: cogroup on shard id — network cost ∝ new links +
+    // touched shard bytes, driver cost zero; persisted with the snapshot
+    // (the URL-seen set resumes exactly with the frontier)
+    seenShards.foreach { shardsDf =>
+      val seen2 = graft.seen.BloomShards.updateDf(
+        shardsDf, discovered.select("urlNorm"), "urlNorm", cfg.seenShards)
+      timed("seen-update")(store.writeSeen(version + 1, seen2))
     }
     def obsLong(name: String, default: Long): Long =
       obs.get.getOrElse(name, null) match {
@@ -438,9 +478,11 @@ object CrawlEngine {
       seeds: Seq[(String, Int)],
       cfg: CrawlConfig): CrawlSummary = {
     val corpusN = corpusStaged(spark, corpus)
-    val hostRules = loadHostRules(spark, corpusN)
+    // per-host robots rules: parsed in executors, cached for the crawl —
+    // a Dataset joined on host wherever a verdict or crawl-delay is needed
+    val rulesDf = hostRules(spark, corpusN).persist()
     if (store.latestVersion.isEmpty)
-      bootstrap(spark, store, corpusN, hostRules, seeds, cfg)
+      bootstrap(spark, store, corpusN, rulesDf, seeds, cfg)
 
     var version = store.latestVersion.get
     var meta = store.readMeta(version)
@@ -459,7 +501,7 @@ object CrawlEngine {
           .filter(col("status") === TaskStatus.Wait).isEmpty
       if (!haveWaits) running = false
       else {
-        runRound(spark, store, corpusN, hostRules, cfg, version, round, nextId) match {
+        runRound(spark, store, corpusN, rulesDf, cfg, version, round, nextId) match {
           case Some(out) =>
             version += 1
             meta = store.readMeta(version)
@@ -482,6 +524,7 @@ object CrawlEngine {
       }
     }
     val frontierSize = store.readFrontier(version).count()
+    rulesDf.unpersist(blocking = true)
     corpusN.unpersist()
     CrawlSummary(round, version, fetchTotal, frontierSize)
   }

@@ -169,6 +169,89 @@ object BloomShards {
     probeUdf(key.cast("string"))
   }
 
+  // ------------------------------------------------------------------
+  // Fully-distributed shard lifecycle (engine path). The driver-side
+  // Shards object above is fine for operator-sized seen sets; at the
+  // north-rule scale (10^10 URLs ⇒ ~12 GB of filter bytes at 1% FPP) the
+  // whole set must NEVER be resident on the driver or broadcast per round.
+  // Here shards stay a (shard, bytes) Dataset end to end: keys shuffle to
+  // their shard's partition and meet the filter bytes in a cogroup, so
+  // per-round network cost is ∝ keys probed/inserted + touched shard
+  // bytes — never ∝ total seen-set size, and driver memory is O(1).
+  // ------------------------------------------------------------------
+
+  private def withShard(df: DataFrame, keyCol: String, nShards: Int) =
+    df.select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .withColumn("shard", pmod(xxhash64(col("k")), lit(nShards.toLong)).cast("int"))
+
+  /** All-empty shard table, built distributed (one row per shard id). */
+  def emptyDf(spark: SparkSession, nShards: Int,
+              expectedPerShard: Long = 1L << 16, fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    spark.range(nShards).as[Long].map { s =>
+      val bos = new ByteArrayOutputStream()
+      BloomFilter.create(math.max(expectedPerShard, 1L), fpp).writeTo(bos)
+      (s.toInt, bos.toByteArray)
+    }.toDF("shard", "bytes")
+  }
+
+  /** Insert `newKeys` into a shard Dataset: keys shuffle to their shard,
+    * each touched shard deserializes once, inserts its keys, re-serializes;
+    * untouched shards pass through byte-for-byte (the cogroup is full-outer
+    * on shard id). Throws if a key's shard row is missing — a truncated
+    * snapshot must never silently shrink the probe modulus. */
+  def updateDf(shards: DataFrame, newKeys: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val keysKV = withShard(newKeys, keyCol, nShards)
+      .as[(String, Int)].groupByKey(_._2)
+    val shardsKV = shards.select(col("shard").cast("int"), col("bytes"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    shardsKV.cogroup(keysKV) { (sid, bs, ks) =>
+      val existing = bs.map(_._2).toList
+      if (existing.isEmpty)
+        throw new IllegalStateException(s"seen-shard $sid missing from snapshot")
+      if (existing.sizeIs > 1)
+        throw new IllegalStateException(s"seen-shard $sid duplicated in snapshot")
+      if (ks.isEmpty) Iterator.single((sid, existing.head))
+      else {
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(existing.head))
+        ks.foreach { case (k, _) => f.putString(k) }
+        val bos = new ByteArrayOutputStream(); f.writeTo(bos)
+        Iterator.single((sid, bos.toByteArray))
+      }
+    }.toDF("shard", "bytes")
+  }
+
+  /** Build a shard Dataset from scratch over a key column. */
+  def buildDf(keys: DataFrame, keyCol: String, nShards: Int,
+              expectedPerShard: Long = 1L << 16, fpp: Double = 0.01): DataFrame =
+    updateDf(emptyDf(keys.sparkSession, nShards, expectedPerShard, fpp),
+      keys, keyCol, nShards)
+
+  /** Distributed probe: (key, maybe) for every distinct non-null key of
+    * `keys`. Keys shuffle to their shard's cogroup group; each group
+    * deserializes its filter once and streams its keys through it. */
+  def probeFlagsDf(keys: DataFrame, keyCol: String, shards: DataFrame, nShards: Int): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val keysKV = withShard(keys, keyCol, nShards)
+      .as[(String, Int)].groupByKey(_._2)
+    val shardsKV = shards.select(col("shard").cast("int"), col("bytes"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    shardsKV.cogroup(keysKV) { (sid, bs, ks) =>
+      if (ks.isEmpty) Iterator.empty
+      else {
+        val existing = bs.map(_._2).toList
+        if (existing.isEmpty)
+          throw new IllegalStateException(s"seen-shard $sid missing from snapshot")
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(existing.head))
+        ks.map { case (k, _) => (k, f.mightContainString(k)) }
+      }
+    }.toDF(keyCol, "maybe")
+  }
+
   /** The full exact-seen pattern: rows of `candidates` whose `keyCol` is NOT
     * in `seen` — bloom pre-filter kills the bulk, exact anti-join confirms.
     * Result is identical to a plain anti-join (bloom has no false

@@ -26,6 +26,39 @@ class BloomShardsSpec extends AnyFunSuite with SparkSpec {
     assert(exact.length == 1500)
   }
 
+  test("distributed shard lifecycle: build/update/probe with no driver-side bytes") {
+    import spark.implicits._
+    val n = 8
+    val seen = (0 until 3000).map(i => s"u$i").toDF("k")
+    val shardsDf = BloomShards.buildDf(seen, "k", n, expectedPerShard = 1024)
+    assert(shardsDf.count() == n)
+    // no false negatives through the cogroup probe
+    val probeAll = BloomShards.probeFlagsDf(seen, "k", shardsDf, n)
+    assert(probeAll.filter(not(col("maybe"))).count() == 0, "distributed bloom false negative")
+    // incremental update keeps old + new members
+    val shards2 = BloomShards.updateDf(shardsDf, (3000 until 3500).map(i => s"u$i").toDF("k"), "k", n)
+    val all = (0 until 3500).map(i => s"u$i").toDF("k")
+    assert(BloomShards.probeFlagsDf(all, "k", shards2, n)
+      .filter(not(col("maybe"))).count() == 0)
+    // parity with the driver-side path on the same input
+    val driverShards = BloomShards.build(seen, "k", n, expectedPerShard = 1024)
+    val probes = (0 until 6000 by 7).map(i => s"u$i")
+    val distFlags = BloomShards.probeFlagsDf(probes.toDF("k"), "k", shardsDf, n)
+      .as[(String, Boolean)].collect().toMap
+    probes.foreach(k => assert(distFlags(k) == driverShards.mightContain(k), s"mismatch for $k"))
+  }
+
+  test("distributed probe/update refuse a truncated shard snapshot") {
+    import spark.implicits._
+    val shardsDf = BloomShards.buildDf((0 until 100).map(i => s"u$i").toDF("k"), "k", 4)
+      .filter(col("shard") =!= 2) // simulate a partially-written snapshot
+    val keys = (0 until 100).map(i => s"u$i").toDF("k")
+    val ex = intercept[org.apache.spark.SparkException] {
+      BloomShards.probeFlagsDf(keys, "k", shardsDf, 4).count()
+    }
+    assert(ex.getMessage.contains("seen-shard") || ex.getCause != null)
+  }
+
   test("empty seen set: everything is new") {
     import spark.implicits._
     val seen = Seq.empty[String].toDF("k")
