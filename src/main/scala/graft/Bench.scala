@@ -27,10 +27,14 @@ object Bench {
     * steady-state rounds. */
   def crawlRoundsDetailed(spark: SparkSession, stateDir: String, nPages: Long,
                           nHosts: Int, rounds: Int, roundBudget: Int,
-                          textRepeat: Int = 1): Vector[(Long, Double)] = {
+                          textRepeat: Int = 1,
+                          staging: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGING", "memory"))
+      : Vector[(Long, Double)] = {
     import spark.implicits._
     val corpus = CorpusTable.createLarge(spark, nPages, nHosts, textRepeat = textRepeat)
-    val corpusN = CrawlEngine.corpusStaged(spark, corpus)
+    val corpusN =
+      if (staging == "bucketed") CrawlEngine.corpusStagedBucketed(spark, corpus, stateDir)
+      else CrawlEngine.corpusStaged(spark, corpus)
     val store = new SnapshotStore(stateDir, spark)
     // distributed bootstrap: the whole corpus is the seed frontier.
     // Bench ids come from monotonically_increasing_id — per-partition
@@ -50,7 +54,7 @@ object Bench {
       hostBudgetPerRound = math.max(64, 2 * roundBudget / nHosts),
       roundBudget = roundBudget,
       politenessCenterTicks = 0, politenessRadiusTicks = 0, maxRounds = rounds)
-    val rules = CrawlEngine.emptyHostRules(spark)
+    val rules: Option[org.apache.spark.sql.DataFrame] = None // bench corpus serves no robots.txt
     val out = Vector.newBuilder[(Long, Double)]
     var fetched = 0L
     var v = 0
@@ -67,7 +71,7 @@ object Bench {
       }
       r += 1
     }
-    corpusN.unpersist()
+    if (staging != "bucketed") corpusN.unpersist()
     out.result()
   }
 

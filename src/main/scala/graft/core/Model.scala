@@ -97,6 +97,13 @@ case class CrawlConfig(
     // 86-96`; cap=3 in `worker.conf:20`). 0 disables (default: the
     // reference ships it on the resource pool, not per host).
     maxHostFailures: Int = 0,
+    // corpus staging: "memory" persists the normalized corpus (right for a
+    // single box where it fits); "bucketed" writes it once as an on-disk
+    // parquet table bucketed on urlNorm — the 100 TB form: no cache, html
+    // read from disk only inside the fetch join, corpus side of every join
+    // still exchange-free. Crawl output is bit-identical either way
+    // (CrawlEngineSpec pins it).
+    corpusStaging: String = "memory",
     maxRounds: Int = 64,
     seed: Long = 42L,
     // R7 partitioned bloom URL-seen set: pre-filters the discovered-link

@@ -24,7 +24,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The manifest carries the driver-side scalars (round, nextId, counters)
   * that make a resumed run bit-identical to an uninterrupted one.
   */
-final class SnapshotStore(baseDir: String, spark: SparkSession) {
+final class SnapshotStore(val baseDir: String, spark: SparkSession) {
 
   private def dir(v: Int, part: String): String = s"$baseDir/v=$v/$part"
   private def manifestPath(v: Int): Path = Paths.get(s"$baseDir/manifest-$v.json")

@@ -103,12 +103,6 @@ object CrawlEngine {
       .select(col("host"), col("r.rbAllow").as("rbAllow"),
         col("r.rbDisallow").as("rbDisallow"), col("r.rbDelayTicks").as("rbDelayTicks"))
 
-  def emptyHostRules(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(String, Seq[String], Seq[String], Long)]
-      .toDF("host", "rbAllow", "rbDisallow", "rbDelayTicks")
-  }
-
   /** Deterministic politeness delay as a pure column over (host, round) —
     * bit-identical to Det.politenessDelay because Spark's xxhash64 IS
     * Det.xxhash64 (seed 42); proven by the politeness_schedule oracle. */
@@ -138,12 +132,35 @@ object CrawlEngine {
     corpusNorm(corpus).repartition(parts, col("urlNorm")).persist()
   }
 
+  /** Scale-path corpus staging: the normalized corpus written ONCE as an
+    * on-disk parquet table bucketed (and sorted) on `urlNorm`. Unlike
+    * [[corpusStaged]]'s persist (which caches `htmlStr` for every page —
+    * impossible at 100 TB), nothing is cached: each round's scan reads only
+    * the columns it projects (html bytes leave disk ONLY inside the fetch
+    * join), and the bucketing satisfies the join's required distribution so
+    * the corpus side still never re-shuffles. Idempotent per `dir`: a
+    * resumed driver reuses the staged table. */
+  def corpusStagedBucketed(spark: SparkSession, corpus: DataFrame, dir: String,
+                           buckets: Int = 0): DataFrame = {
+    val n = if (buckets > 0) buckets
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val table = s"graft_corpus_${java.lang.Integer.toHexString(dir.hashCode)}"
+    if (!spark.catalog.tableExists(table)) {
+      corpusNorm(corpus).write
+        .bucketBy(n, "urlNorm").sortBy("urlNorm")
+        .option("path", s"$dir/corpus_bucketed")
+        .mode("overwrite")
+        .saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
   /** Bootstrap snapshot v=0 from a seed list. */
   def bootstrap(
       spark: SparkSession,
       store: SnapshotStore,
       corpusN: DataFrame,
-      rulesDf: DataFrame,
+      rulesDf: Option[DataFrame],
       seeds: Seq[(String, Int)],
       cfg: CrawlConfig = CrawlConfig()): Unit = {
     import spark.implicits._
@@ -157,11 +174,15 @@ object CrawlEngine {
       (i.toLong, raw, n, host, 0, prio, 0)
     }
     val seedDf = rows.toDF("id", "url", "urlNorm", "host", "attempt", "priority", "discoveredRound")
-    val frontier0 = seedDf
-      .join(rulesDf, Seq("host"), "left")
-      .withColumn("status",
-        when(robotsAllowedUdf(urlPath(col("urlNorm")), col("rbAllow"), col("rbDisallow")),
-          TaskStatus.Wait).otherwise(TaskStatus.Skipped))
+    val withStatus = rulesDf match {
+      case None => seedDf.withColumn("status", lit(TaskStatus.Wait))
+      case Some(rules) => seedDf
+        .join(rules, Seq("host"), "left")
+        .withColumn("status",
+          when(robotsAllowedUdf(urlPath(col("urlNorm")), col("rbAllow"), col("rbDisallow")),
+            TaskStatus.Wait).otherwise(TaskStatus.Skipped))
+    }
+    val frontier0 = withStatus
       .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
         col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
@@ -217,7 +238,7 @@ object CrawlEngine {
       spark: SparkSession,
       store: SnapshotStore,
       corpusN: DataFrame,
-      rulesDf: DataFrame,
+      rulesDf: Option[DataFrame],
       cfg: CrawlConfig,
       version: Int, // previous committed snapshot
       round: Int,
@@ -354,17 +375,21 @@ object CrawlEngine {
     // driver map): new links per round × tiny-or-sharded rules — AQE
     // broadcasts small rule tables, shuffles huge ones, either way the
     // driver holds nothing
-    val discovered = newRanked
+    val newBase = newRanked
       .select(
         (col("idx") + lit(nextId - 1)).as("id"),
         col("newNorm").as("url"), col("newNorm").as("urlNorm"),
         urlHost(col("newNorm")).as("host"),
         lit(0).as("attempt"), lit(0).as("priority"),
         lit(round + 1).as("discoveredRound"))
-      .join(rulesDf, Seq("host"), "left")
-      .withColumn("status",
-        when(robotsAllowedUdf(urlPath(col("urlNorm")), col("rbAllow"), col("rbDisallow")),
-          TaskStatus.Wait).otherwise(TaskStatus.Skipped))
+    val discovered = (rulesDf match {
+      case None => newBase.withColumn("status", lit(TaskStatus.Wait))
+      case Some(rules) => newBase
+        .join(rules, Seq("host"), "left")
+        .withColumn("status",
+          when(robotsAllowedUdf(urlPath(col("urlNorm")), col("rbAllow"), col("rbDisallow")),
+            TaskStatus.Wait).otherwise(TaskStatus.Skipped))
+    })
       .hint("shuffle_hash") // build on the new-link side, never sort the corpus
       .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
@@ -416,7 +441,11 @@ object CrawlEngine {
         max(when(col("outcome") === Outcome.Banned, 1).otherwise(0)).as("bannedFlag"),
         sum(when(col("outcome").isin(Outcome.IoFailed, Outcome.GenericFailed), 1)
           .otherwise(0)).cast("int").as("nFails"))
-      .join(rulesDf.select(col("host"), col("rbDelayTicks")), Seq("host"), "left")
+      .transform(df => rulesDf match {
+        case None => df.withColumn("rbDelayTicks", lit(0L))
+        case Some(rules) =>
+          df.join(rules.select(col("host"), col("rbDelayTicks")), Seq("host"), "left")
+      })
       .withColumn("newTick",
         lit(round + 1) + when(col("bannedFlag") === 1, lit(cfg.banBackoffTicks))
           .otherwise(greatest(
@@ -477,10 +506,15 @@ object CrawlEngine {
       corpus: DataFrame,
       seeds: Seq[(String, Int)],
       cfg: CrawlConfig): CrawlSummary = {
-    val corpusN = corpusStaged(spark, corpus)
+    val corpusN =
+      if (cfg.corpusStaging == "bucketed") corpusStagedBucketed(spark, corpus, store.baseDir)
+      else corpusStaged(spark, corpus)
     // per-host robots rules: parsed in executors, cached for the crawl —
-    // a Dataset joined on host wherever a verdict or crawl-delay is needed
-    val rulesDf = hostRules(spark, corpusN).persist()
+    // a Dataset joined on host wherever a verdict or crawl-delay is needed.
+    // None when the corpus serves no robots.txt at all: the per-round rule
+    // joins vanish from the plan instead of joining an empty table.
+    val rulesRaw = hostRules(spark, corpusN)
+    val rulesDf = if (rulesRaw.isEmpty) None else Some(rulesRaw.persist())
     if (store.latestVersion.isEmpty)
       bootstrap(spark, store, corpusN, rulesDf, seeds, cfg)
 
@@ -524,8 +558,8 @@ object CrawlEngine {
       }
     }
     val frontierSize = store.readFrontier(version).count()
-    rulesDf.unpersist(blocking = true)
-    corpusN.unpersist()
+    rulesDf.foreach(_.unpersist(blocking = true))
+    if (cfg.corpusStaging != "bucketed") corpusN.unpersist()
     CrawlSummary(round, version, fetchTotal, frontierSize)
   }
 }

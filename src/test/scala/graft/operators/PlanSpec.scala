@@ -44,6 +44,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_"), "no partial (map-side) aggregation")
   }
 
+  test("bucketed corpus staging: no corpus-side exchange, narrow ReadSchema per scan") {
+    import spark.implicits._
+    val corpus = graft.corpus.CorpusTable.createLarge(spark, 1000, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val corpusN = CrawlEngine.corpusStagedBucketed(spark, corpus, dir)
+    val selected = Seq("https://host0.example/p0", "https://host1.example/p1").toDF("urlNorm")
+    // the fetch-join shape: selected (tiny) joins the bucketed corpus
+    val joined = selected.hint("shuffle_hash")
+      .join(corpusN.select("urlNorm", "htmlStr"), Seq("urlNorm"), "left")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"corpus scan not bucketed:\n$plan")
+    // exactly one exchange (the selected side); the corpus scan feeds the
+    // join straight from its buckets. AQE prints the initial plan again
+    // below the final one — count only the final section.
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val exchanges = finalSection.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"corpus side reshuffled:\n$plan")
+    // column pruning: a warcTs-only projection must not read html bytes
+    val narrow = corpusN.select("urlNorm", "warcTs")
+    val narrowPlan = narrow.queryExecution.executedPlan.toString
+    val readSchema = narrowPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("urlNorm") && !readSchema.contains("htmlStr"),
+      s"html not pruned from narrow scan: $readSchema")
+  }
+
   test("staged fetch join: corpus side reuses its partitioning (no exchange)") {
     import spark.implicits._
     val corpus = graft.corpus.CorpusTable.createLarge(spark, 1000, 16)

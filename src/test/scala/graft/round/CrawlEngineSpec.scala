@@ -95,6 +95,19 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
       new SnapshotStore(bloom, spark).latestVersion.get))
   }
 
+  test("bucketed on-disk corpus staging yields the identical crawl (no corpus cache)") {
+    val mem = tmpDir("stage-mem"); val buck = tmpDir("stage-buck")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(mem, spark), corpus, CorpusGen.seeds(spec), cfg)
+    CrawlEngine.crawl(spark, new SnapshotStore(buck, spark), corpus, CorpusGen.seeds(spec),
+      cfg.copy(corpusStaging = "bucketed"))
+    val (a, _) = engineFetches(mem)
+    val (b, _) = engineFetches(buck)
+    assert(a == b)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$buck/corpus_bucketed")),
+      "staged table should live on disk under the state dir")
+  }
+
   test("D3 failCount circuit breaker: engine matches simulator and stops on dead hosts") {
     // deep-chain spec: zero politeness + big budgets so the next-page link
     // chain reaches host0's xx-gen page (pageIdx 21) within a few rounds
