@@ -45,7 +45,8 @@ object Bench {
       regexp_extract(col("urlNorm"), "https://([^/]+)/", 1).as("host"),
       lit(graft.core.TaskStatus.Wait).as("status"),
       lit(0).as("attempt"), lit(0).as("priority"),
-      col("warcTs"), lit(0).as("discoveredRound"))
+      col("warcTs"), lit(0).as("discoveredRound"),
+      lit("default").as("projectId"), lit("default").as("taskType"))
     val hosts0 = Seq.empty[(String, Long, Int)].toDF("host", "nextTick", "failCount")
     store.commit(0, frontier0, hosts0, None, Map("nextRound" -> "0", "nextId" -> nPages.toString))
 

@@ -48,6 +48,7 @@ object SparkEntry {
     // ---- §2.A/B scans, predicates, limits --------------------------------
     "lease_scan" -> ((s, d) => CrawlOps.leaseScan(t(s, d, "events"))),
     "lease_expiry" -> ((s, d) => CrawlOps.leaseExpiry(t(s, d, "events"))),
+    "lease_scan_by_type" -> ((s, d) => CrawlOps.leaseScanByType(t(s, d, "events"))),
     "scan_pushdown" -> ((s, d) => CrawlOps.scanPushdown(t(s, d, "lineitem"))),
     // ---- §2.C joins ------------------------------------------------------
     "dim_join_report" -> ((s, d) =>
@@ -141,6 +142,12 @@ object SparkEntry {
     "lease_scan" ->
       """SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
         |ORDER BY event_id LIMIT 100""".stripMargin,
+    "lease_scan_by_type" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, user_id FROM (
+        |  SELECT event_type, event_id, user_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin,
     "lease_expiry" ->
       """SELECT event_id,
         |  CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00' THEN 'taskWait'

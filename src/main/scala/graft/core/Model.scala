@@ -25,6 +25,8 @@ object TaskStatus {
 object Outcome {
   val Success = "success"          // 200 + parse ok
   val NotFound = "notFound"        // PageNotFoundException → taskSkipped
+  val Skipped = "skipped"          // B5 validator flag → bypass fetch, taskSkipped
+                                   // (`TasksBatchController.scala:113-119`)
   val Banned = "banned"            // BotBannedException → dropped + host backoff
   val IoFailed = "ioFailed"        // IOException → requeue, NO attempt increment
   val ParsingFailed = "parsingFailed" // ParsingException → taskParsingFailed
@@ -46,7 +48,9 @@ case class FrontierEntry(
     attempt: Int,
     priority: Int,
     warcTs: Option[Long], // corpus capture time (micros), ranking key
-    discoveredRound: Int
+    discoveredRound: Int,
+    projectId: String,    // owning project (task.proto:13)
+    taskType: String      // lease multiplexing key (task.proto:8)
     // NOTE deliberately no lastUpdate: the engine is bulk-synchronous —
     // a round either commits fully or not at all, so no row is ever
     // observably "in progress" (the reference's lease timestamp,
@@ -82,6 +86,17 @@ case class FetchRecord(
     nNewLinks: Int
 )
 
+/** One crawl project (`configuration.proto:14-24` + `task.proto:13-15`):
+  * tasks of `taskType` belong to `projectId`; links they discover are
+  * enqueued under `nextProjectId` (project chaining, the way the reference
+  * stamps `nextProjectId` onto new tasks in
+  * `simple-worker/.../parser/HabrParser.scala:27-28`). */
+case class ProjectSpec(projectId: String, taskType: String, nextProjectId: String)
+
+object ProjectSpec {
+  val default: ProjectSpec = ProjectSpec("default", "default", "default")
+}
+
 /** Crawl-engine configuration (reference `worker.conf`/`master.conf` knobs). */
 case class CrawlConfig(
     hostBudgetPerRound: Int = 2,   // per-resource concurrency limit (README.md:38)
@@ -104,6 +119,13 @@ case class CrawlConfig(
     // still exchange-free. Crawl output is bit-identical either way
     // (CrawlEngineSpec pins it).
     corpusStaging: String = "memory",
+    // Registered projects (multi-crawl multiplexing). Each round leases ONE
+    // task type, picked by a seeded draw among the distinct registered
+    // types — the deterministic twin of the master's random pick
+    // (`QueueTaskServiceImpl.scala:32-55`); with one type the filter
+    // vanishes. Seeds enter under projects.head; discovered links chain to
+    // the parent project's nextProjectId.
+    projects: Seq[ProjectSpec] = Seq(ProjectSpec.default),
     maxRounds: Int = 64,
     seed: Long = 42L,
     // R7 partitioned bloom URL-seen set: pre-filters the discovered-link

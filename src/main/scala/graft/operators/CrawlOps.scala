@@ -24,6 +24,18 @@ object CrawlOps {
       .orderBy(col("event_id"))
       .limit(n)
 
+  /** A1 per-taskType lease scan (`QueueTaskServiceImpl.scala:32-55` leases
+    * one batch per task type): the top-`n` wait rows of EVERY type by the
+    * deterministic order, in one windowed pass — no per-type driver loop. */
+  def leaseScanByType(events: DataFrame, n: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("event_type"), col("rn"), col("event_id"), col("user_id"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
   /** B2 + F7 — lease-expiry sweep (`QueueTaskRecover.scala:32-36`): rows
     * older than the cutoff flip back to wait. */
   def leaseExpiry(events: DataFrame, cutoff: String = "2024-01-15 00:00:00"): DataFrame =

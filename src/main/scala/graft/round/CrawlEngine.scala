@@ -56,18 +56,11 @@ object CrawlEngine {
   // projections inside WholeStageCodegen and skip the serialization round
   // trip on every row of the link-discovery path.
   import graft.functions.expressions.UrlFunctions.{urlNormalize, urlHost, urlPath, urlResolve}
-  /** Parse html, keeping only links passing the reference predicate
-    * (HabrParser.scala:22-26) against the parent host. */
-  val parseUdf = udf((html: String, host: String) =>
-    Option(html) match {
-      case None => Parsed(None, Nil)
-      case Some(h) =>
-        val text = HtmlCodec.extractText(h)
-        val links =
-          if (text.isEmpty) Nil
-          else HtmlCodec.extractLinks(h).filter(HtmlCodec.keepLink(_, host))
-        Parsed(text, links)
-    })
+  /** Parser UDF from a pluggable [[PageParser]] (pipeline seam H1/H2). */
+  def parseUdfOf(parser: PageParser) =
+    udf((html: String, host: String) => parser.parse(html, host))
+  /** Default parser UDF (robots bodies + single-parser crawls). */
+  val parseUdf = parseUdfOf(DefaultParser)
   val ioFailUntilUdf = udf((lang: String) => lang match {
     case IoLang(n) => n.toInt
     case _ => 0
@@ -171,9 +164,11 @@ object CrawlEngine {
         (raw, n, UrlNormalizer.hostOf(n), prio)
       }
     }.zipWithIndex.map { case ((raw, n, host, prio), i) =>
-      (i.toLong, raw, n, host, 0, prio, 0)
+      (i.toLong, raw, n, host, 0, prio, 0,
+        cfg.projects.head.projectId, cfg.projects.head.taskType)
     }
-    val seedDf = rows.toDF("id", "url", "urlNorm", "host", "attempt", "priority", "discoveredRound")
+    val seedDf = rows.toDF("id", "url", "urlNorm", "host", "attempt", "priority",
+      "discoveredRound", "projectId", "taskType")
     val withStatus = rulesDf match {
       case None => seedDf.withColumn("status", lit(TaskStatus.Wait))
       case Some(rules) => seedDf
@@ -185,7 +180,8 @@ object CrawlEngine {
     val frontier0 = withStatus
       .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
-        col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
+        col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"),
+        col("projectId"), col("taskType"))
     val hosts0 = Seq.empty[(String, Long, Int)].toDF("host", "nextTick", "failCount")
     if (cfg.seenFilter) {
       val seen0 = graft.seen.BloomShards.updateDf(
@@ -242,15 +238,24 @@ object CrawlEngine {
       cfg: CrawlConfig,
       version: Int, // previous committed snapshot
       round: Int,
-      nextId: Long): Option[RoundOutcome] = {
+      nextId: Long,
+      hooks: PipelineHooks = PipelineHooks()): Option[RoundOutcome] = {
     import spark.implicits._
 
     val frontier = store.readFrontier(version)
     val hosts = store.readHosts(version)
+    // lease multiplexing: one seeded-pick task type per round — the
+    // deterministic twin of the master's random pick among registered
+    // types (`QueueTaskServiceImpl.scala:32-55`)
+    val taskTypes = cfg.projects.map(_.taskType).distinct.sorted
+    val pickedType =
+      if (taskTypes.size <= 1) None
+      else Some(taskTypes(Det.pmod(Det.xxhash64(s"taskType:$round"), taskTypes.size).toInt))
 
     // B1 + F1: wait-status rows on open hosts (closed hosts carry DeadTick)
     val eligible = frontier
       .filter(col("status") === TaskStatus.Wait)
+      .transform(df => pickedType.fold(df)(t => df.filter(col("taskType") === t)))
       .join(hosts.select("host", "nextTick"), Seq("host"), "left")
       .filter(coalesce(col("nextTick"), lit(0L)) <= round)
       .drop("nextTick")
@@ -273,6 +278,8 @@ object CrawlEngine {
       .filter(col("seqL") <= cfg.roundBudget)
       .withColumn("seq", col("seqL").cast("int"))
       .drop("seqL", "__pid")
+      // B5/B6: validator-flagged rows bypass the fetch and end taskSkipped
+      .withColumn("skipped", hooks.validator.getOrElse(lit(false)))
 
     // C4 fetch join (bounded by roundBudget) + G1 outcome taxonomy.
     // shuffle_hash hint: a sort-merge join would RE-SORT the corpus side
@@ -283,15 +290,18 @@ object CrawlEngine {
     // chains parse after a successful fetch), and skipping them here both
     // matches the simulator's null extractedText and avoids paying the
     // parse UDF for doomed rows (the `when` guard short-circuits per row).
+    val roundParseUdf =
+      if (hooks.parser eq DefaultParser) parseUdf else parseUdfOf(hooks.parser)
     val fetched = selected.hint("shuffle_hash")
       .join(corpusN.select("urlNorm", "htmlStr", "lang"), Seq("urlNorm"), "left")
       .withColumn("ioUntil", ioFailUntilUdf(col("lang")))
       .withColumn("parsed",
-        when(col("htmlStr").isNotNull && col("lang") =!= "xx-ban" &&
+        when(!col("skipped") && col("htmlStr").isNotNull && col("lang") =!= "xx-ban" &&
           col("lang") =!= "xx-gen" && !(col("ioUntil") > round),
-          parseUdf(col("htmlStr"), col("host"))))
+          roundParseUdf(col("htmlStr"), col("host"))))
       .withColumn("outcome",
-        when(col("htmlStr").isNull, Outcome.NotFound)
+        when(col("skipped"), Outcome.Skipped)
+          .when(col("htmlStr").isNull, Outcome.NotFound)
           .when(col("lang") === "xx-ban", Outcome.Banned)
           .when(col("ioUntil") > round, Outcome.IoFailed)
           .when(col("lang") === "xx-gen", Outcome.GenericFailed)
@@ -311,8 +321,8 @@ object CrawlEngine {
     // fetch records (the crawl-order contract surface). The D1 per-outcome
     // report rides the results write as an Observation and lands in the
     // manifest — durable per-round lineage counters at zero extra jobs.
-    val outcomeNames = Seq(Outcome.Success, Outcome.NotFound, Outcome.Banned,
-      Outcome.IoFailed, Outcome.ParsingFailed, Outcome.GenericFailed)
+    val outcomeNames = Seq(Outcome.Success, Outcome.NotFound, Outcome.Skipped,
+      Outcome.Banned, Outcome.IoFailed, Outcome.ParsingFailed, Outcome.GenericFailed)
     val recObs = org.apache.spark.sql.Observation(s"records-v${version + 1}")
     val records = fetched.select(
       lit(round).as("round"), col("seq"), col("id"), col("urlNorm"),
@@ -330,6 +340,7 @@ object CrawlEngine {
     val candidates = fetched
       .filter(col("outcome") === Outcome.Success)
       .select(col("seq"), col("urlNorm").as("parentUrl"),
+        col("projectId").as("parentProject"),
         posexplode(col("parsed.links")).as(Seq("pos", "href")))
       .withColumn("newNorm", urlResolve(col("parentUrl"), col("href")))
       .filter(col("newNorm").isNotNull)
@@ -375,13 +386,23 @@ object CrawlEngine {
     // driver map): new links per round × tiny-or-sharded rules — AQE
     // broadcasts small rule tables, shuffles huge ones, either way the
     // driver holds nothing
+    // project chaining (task.proto:13-15): a link discovered by a task of
+    // project P enters the frontier under P.nextProjectId with that
+    // project's task type; unknown parents keep their own project.
+    val nextByProject = typedLit(cfg.projects.map(p => p.projectId -> p.nextProjectId).toMap)
+    val typeByProject = typedLit(cfg.projects.map(p => p.projectId -> p.taskType).toMap)
     val newBase = newRanked
       .select(
         (col("idx") + lit(nextId - 1)).as("id"),
         col("newNorm").as("url"), col("newNorm").as("urlNorm"),
         urlHost(col("newNorm")).as("host"),
         lit(0).as("attempt"), lit(0).as("priority"),
-        lit(round + 1).as("discoveredRound"))
+        lit(round + 1).as("discoveredRound"),
+        coalesce(element_at(nextByProject, col("parentProject")), col("parentProject"))
+          .as("projectId"))
+      .withColumn("taskType",
+        coalesce(element_at(typeByProject, col("projectId")),
+          lit(cfg.projects.head.taskType)))
     val discovered = (rulesDf match {
       case None => newBase.withColumn("status", lit(TaskStatus.Wait))
       case Some(rules) => newBase
@@ -393,7 +414,8 @@ object CrawlEngine {
       .hint("shuffle_hash") // build on the new-link side, never sort the corpus
       .join(corpusN.select(col("urlNorm"), col("warcTs")), Seq("urlNorm"), "left")
       .select(col("id"), col("url"), col("urlNorm"), col("host"), col("status"),
-        col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"))
+        col("attempt"), col("priority"), col("warcTs"), col("discoveredRound"),
+        col("projectId"), col("taskType"))
       .persist()
 
     // G2/G3 + D1: status machine via outcome join on id. No broadcast
@@ -410,7 +432,7 @@ object CrawlEngine {
       .withColumn("newStatus",
         when(col("outcome").isNull, col("status"))
           .when(col("outcome").isin(Outcome.Success, Outcome.Banned), TaskStatus.Finished)
-          .when(col("outcome") === Outcome.NotFound, TaskStatus.Skipped)
+          .when(col("outcome").isin(Outcome.NotFound, Outcome.Skipped), TaskStatus.Skipped)
           .when(col("outcome") === Outcome.ParsingFailed, TaskStatus.ParsingFailed)
           .when(col("outcome") === Outcome.IoFailed, TaskStatus.Wait)
           .when(col("outcome") === Outcome.GenericFailed,
@@ -419,7 +441,8 @@ object CrawlEngine {
           .otherwise(col("status")))
       .select(col("id"), col("url"), col("urlNorm"), col("host"),
         col("newStatus").as("status"), col("newAttempt").cast("int").as("attempt"),
-        col("priority"), col("warcTs"), col("discoveredRound"))
+        col("priority"), col("warcTs"), col("discoveredRound"),
+        col("projectId"), col("taskType"))
 
     // wait-count and new-link count piggyback on the commit write via
     // observe — saves the driver loop a frontier scan per round and the
@@ -470,6 +493,16 @@ object CrawlEngine {
         shardsDf, discovered.select("urlNorm"), "urlNorm", cfg.seenShards)
       timed("seen-update")(store.writeSeen(version + 1, seen2))
     }
+    // A8-A13 sink family: raw + parsed sinks write BEFORE the manifest
+    // seals (reference order: SaveCrawlResultController saves, THEN reports
+    // to the master, `SaveCrawlResultController.scala:99-154`) — a sink
+    // failure leaves an uncommitted round that re-runs idempotently (G4).
+    if (hooks.rawSinks.nonEmpty) {
+      val raw = fetched.select(lit(round).as("round"), col("seq"), col("id"),
+        col("urlNorm"), col("htmlStr"))
+      hooks.rawSinks.foreach(_.write(raw, version + 1))
+    }
+    hooks.parsedSinks.foreach(_.write(records, version + 1))
     def obsLong(name: String, default: Long): Long =
       obs.get.getOrElse(name, null) match {
         case n: java.lang.Long => n.longValue
@@ -505,7 +538,8 @@ object CrawlEngine {
       store: SnapshotStore,
       corpus: DataFrame,
       seeds: Seq[(String, Int)],
-      cfg: CrawlConfig): CrawlSummary = {
+      cfg: CrawlConfig,
+      hooks: PipelineHooks = PipelineHooks()): CrawlSummary = {
     val corpusN =
       if (cfg.corpusStaging == "bucketed") corpusStagedBucketed(spark, corpus, store.baseDir)
       else corpusStaged(spark, corpus)
@@ -535,7 +569,7 @@ object CrawlEngine {
           .filter(col("status") === TaskStatus.Wait).isEmpty
       if (!haveWaits) running = false
       else {
-        runRound(spark, store, corpusN, rulesDf, cfg, version, round, nextId) match {
+        runRound(spark, store, corpusN, rulesDf, cfg, version, round, nextId, hooks) match {
           case Some(out) =>
             version += 1
             meta = store.readMeta(version)

@@ -1,0 +1,74 @@
+package graft.round
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.core.HtmlCodec
+
+/** Pluggable pipeline surfaces of the crawl engine, mirroring the
+  * reference's worker pipeline contract (`worker/.../pipeline/
+  * PipelineBuilder.scala:12-87`): a crawler (here: the corpus fetch join),
+  * an optional parser with its paired parsed-sink, optional raw sinks, and
+  * a batch-task validator.
+  */
+
+/** H1/H2 parser seam (`worker/.../parser/BaseParser.scala`): html of a
+  * fetched page → extracted text + kept links. Must be deterministic and
+  * Serializable — it runs inside a UDF on executors. */
+trait PageParser extends Serializable {
+  def parse(html: String, host: String): CrawlEngine.Parsed
+}
+
+/** Default parser: the invertible HtmlCodec extraction with the
+  * reference's link predicate (`HabrParser.scala:16-28`). */
+object DefaultParser extends PageParser {
+  override def parse(html: String, host: String): CrawlEngine.Parsed =
+    Option(html) match {
+      case None => CrawlEngine.Parsed(None, Nil)
+      case Some(h) =>
+        val text = HtmlCodec.extractText(h)
+        val links =
+          if (text.isEmpty) Nil
+          else HtmlCodec.extractLinks(h).filter(HtmlCodec.keepLink(_, host))
+        CrawlEngine.Parsed(text, links)
+    }
+}
+
+/** A8-A10 raw sink family (`worker/.../save/SaveRawProvider.scala`):
+  * receives the round's raw fetches (round, seq, id, urlNorm, htmlStr).
+  * One writer covers local FS and s3a:// — the path scheme is the only
+  * difference in Spark. */
+trait RawSink extends Serializable {
+  def write(raw: DataFrame, version: Int): Unit
+}
+
+/** A11-A13 parsed sink family (`worker/.../save/SaveParsedProvider
+  * .scala`): receives the round's fetch records (incl. extractedText). */
+trait ParsedSink extends Serializable {
+  def write(records: DataFrame, version: Int): Unit
+}
+
+/** Parquet implementations — one versioned dir per round commit, overwrite
+  * = idempotent on retry (G4 save-failure recovery for free). */
+final case class ParquetRawSink(path: String) extends RawSink {
+  override def write(raw: DataFrame, version: Int): Unit =
+    raw.write.mode("overwrite").parquet(s"$path/v=$version")
+}
+final case class ParquetParsedSink(path: String) extends ParsedSink {
+  override def write(records: DataFrame, version: Int): Unit =
+    records.write.mode("overwrite").parquet(s"$path/v=$version")
+}
+/** A10 dummy sink. */
+final case class NoopRawSink() extends RawSink {
+  override def write(raw: DataFrame, version: Int): Unit = ()
+}
+
+/** Everything pluggable a round consumes. `validator` is the B5 batch-item
+  * validator (`worker/.../validators/BatchTasksValidator.scala:5-7`) as a
+  * Column predicate over the leased frontier row (urlNorm/host/priority/
+  * projectId/taskType columns are in scope): rows it flags skip the fetch
+  * and end `taskSkipped` (B6 short-circuit). */
+final case class PipelineHooks(
+    parser: PageParser = DefaultParser,
+    validator: Option[Column] = None,
+    rawSinks: Seq[RawSink] = Nil,
+    parsedSinks: Seq[ParsedSink] = Nil)

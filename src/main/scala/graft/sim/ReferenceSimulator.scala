@@ -44,7 +44,8 @@ object ReferenceSimulator {
   final case class SimEntry(
       id: Long, url: String, urlNorm: String, host: String,
       var status: String, var attempt: Int, priority: Int,
-      warcTs: Option[Long], discoveredRound: Int)
+      warcTs: Option[Long], discoveredRound: Int,
+      projectId: String = "default", taskType: String = "default")
 
   final case class SimFetch(
       round: Int, seq: Int, id: Long, urlNorm: String, outcome: String,
@@ -89,7 +90,14 @@ object ReferenceSimulator {
   def run(
       corpus: Map[String, SimPage], // keyed by normalized url
       seeds: Seq[(String, Int)],    // (raw url, priority) in seed order
-      cfg: CrawlConfig): SimResult = {
+      cfg: CrawlConfig,
+      // B5 validator twin: leased tasks it flags bypass the fetch and end
+      // taskSkipped (`WorkerManager.scala:71-72`, `TasksBatchController
+      // .scala:113-119`)
+      validator: String => Boolean = _ => false): SimResult = {
+    val nextByProject = cfg.projects.map(p => p.projectId -> p.nextProjectId).toMap
+    val typeByProject = cfg.projects.map(p => p.projectId -> p.taskType).toMap
+    val taskTypes = cfg.projects.map(_.taskType).distinct.sorted
 
     // robots rules per host, read statically from the corpus
     val robots: Map[String, Robots.Rules] = corpus.collect {
@@ -107,7 +115,7 @@ object ReferenceSimulator {
     val DeadTick = Int.MaxValue.toLong
     var nextId = 0L
 
-    def insert(rawUrl: String, priority: Int, round: Int): Unit =
+    def insert(rawUrl: String, priority: Int, round: Int, projectId: String): Unit =
       UrlNormalizer.normalize(rawUrl).foreach { urlNorm =>
         if (!frontier.contains(urlNorm)) {
           val host = UrlNormalizer.hostOf(urlNorm)
@@ -115,12 +123,13 @@ object ReferenceSimulator {
             if (robotsAllowed(host, urlNorm)) TaskStatus.Wait else TaskStatus.Skipped
           frontier(urlNorm) = SimEntry(
             nextId, rawUrl, urlNorm, host, status, 0, priority,
-            corpus.get(urlNorm).map(_.warcTsMicros), round)
+            corpus.get(urlNorm).map(_.warcTsMicros), round,
+            projectId, typeByProject.getOrElse(projectId, cfg.projects.head.taskType))
           nextId += 1
         }
       }
 
-    seeds.foreach { case (u, p) => insert(u, p, 0) }
+    seeds.foreach { case (u, p) => insert(u, p, 0, cfg.projects.head.projectId) }
 
     val fetches = Vector.newBuilder[SimFetch]
     var round = 0
@@ -129,12 +138,22 @@ object ReferenceSimulator {
       val waits = frontier.values.filter(_.status == TaskStatus.Wait).toVector
       if (waits.isEmpty) done = true
       else {
-        val eligible = waits.filter(e => round >= hostNext.getOrElse(e.host, 0L))
+        // lease multiplexing: one seeded-pick task type per round
+        // (`QueueTaskServiceImpl.scala:32-55`); single-type crawls skip it
+        val pickedType =
+          if (taskTypes.size <= 1) None
+          else Some(taskTypes(Det.pmod(Det.xxhash64(s"taskType:$round"), taskTypes.size).toInt))
+        val eligible = waits.filter(e => round >= hostNext.getOrElse(e.host, 0L) &&
+          pickedType.forall(_ == e.taskType))
         if (eligible.isEmpty) {
           // jump to the earliest reopen tick among hosts that still have
-          // waits; if every such host is closed → NoResourcesAvailable stop
+          // waits; if every such host is closed → NoResourcesAvailable stop.
+          // With multiplexed types the pick rotates per round, so the jump
+          // is only one tick: another type may be eligible next round.
           val minNext = waits.map(e => hostNext.getOrElse(e.host, 0L)).min
           if (minNext >= DeadTick) done = true
+          else if (pickedType.isDefined && waits.exists(e => round >= hostNext.getOrElse(e.host, 0L)))
+            round += 1
           else round = math.max(round + 1, minNext.toInt)
         } else {
           // R1 per-host top-k, then R2 global cut, same order
@@ -148,10 +167,12 @@ object ReferenceSimulator {
           var seq = 0
           val roundFetches = selected.map { e =>
             seq += 1
-            val page = corpus.get(e.urlNorm)
-            val (outcome, text, links) = classify(page, round)
+            val (outcome, text, links) =
+              if (validator(e.urlNorm)) (Outcome.Skipped, None, Nil)
+              else classify(corpus.get(e.urlNorm), round)
             // status transition (QueueTaskServiceImpl.scala:78-167 semantics)
             outcome match {
+              case Outcome.Skipped => e.status = TaskStatus.Skipped
               case Outcome.Success => e.status = TaskStatus.Finished
               case Outcome.Banned =>
                 e.status = TaskStatus.Finished // dropped with successes (:80)
@@ -172,9 +193,12 @@ object ReferenceSimulator {
           }
           fetches ++= roundFetches
 
-          // push discovered urls (A14 + C2 dedup, first-occurrence order)
+          // push discovered urls (A14 + C2 dedup, first-occurrence order);
+          // links chain to the parent project's nextProjectId
           newLinks.result().foreach { case (parentUrl, href) =>
-            UrlNormalizer.resolve(parentUrl, href).foreach(n => insert(n, 0, round + 1))
+            val parentProject = frontier(parentUrl).projectId
+            val newProject = nextByProject.getOrElse(parentProject, parentProject)
+            UrlNormalizer.resolve(parentUrl, href).foreach(n => insert(n, 0, round + 1, newProject))
           }
 
           // politeness: every fetched host parks (F2); banned overrides

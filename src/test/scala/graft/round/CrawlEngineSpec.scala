@@ -134,6 +134,59 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
     assert(deadHosts.subsetOf(engineWaitHosts))
   }
 
+  test("multi-project taskType multiplexing: engine matches simulator, links chain projects") {
+    // two chained projects: seeds enter under "list" (type tList); links
+    // they discover chain to "article" (type tArt), which chains to itself
+    val projects = Seq(
+      ProjectSpec("list", "tList", "article"),
+      ProjectSpec("article", "tArt", "article"))
+    val cfgP = cfg.copy(projects = projects, maxRounds = 50)
+    val stateDir = tmpDir("multiproj")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), cfgP)
+    val simP = ReferenceSimulator.run(CorpusGen.simCorpus(spec), CorpusGen.seeds(spec), cfgP)
+    val (engineSeq, _) = engineFetches(stateDir)
+    assert(engineSeq == simP.fetches.map(f => (f.round, f.seq, f.urlNorm, f.outcome)))
+    assert(engineSeq.nonEmpty)
+    // project chaining visible in the frontier: seeds under "list",
+    // discovered links under "article"
+    val store = new SnapshotStore(stateDir, spark)
+    val byProject = store.readFrontier(store.latestVersion.get)
+      .groupBy("projectId", "taskType").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byProject.keySet == Set(("list", "tList"), ("article", "tArt")),
+      s"got $byProject")
+    assert(byProject(("article", "tArt")) > 0, "discovered links should chain to 'article'")
+    // both types actually got leased (the per-round pick rotates)
+    val simTypes = simP.fetches.map(f => simP.frontier.find(_.id == f.id).get.taskType).toSet
+    assert(simTypes == Set("tList", "tArt"))
+  }
+
+  test("B5 validator: flagged rows skip the fetch, engine matches simulator") {
+    val stateDir = tmpDir("validator")
+    val corpus = CorpusTable.create(spark, spec)
+    // skip every url whose path contains "/p3" (deterministic predicate,
+    // expressed as a Column for the engine and a function for the simulator)
+    val hooks = graft.round.PipelineHooks(
+      validator = Some(org.apache.spark.sql.functions.col("urlNorm").contains("/p3")))
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), cfg, hooks)
+    val simV = ReferenceSimulator.run(CorpusGen.simCorpus(spec), CorpusGen.seeds(spec), cfg,
+      validator = _.contains("/p3"))
+    val (engineSeq, _) = engineFetches(stateDir)
+    assert(engineSeq == simV.fetches.map(f => (f.round, f.seq, f.urlNorm, f.outcome)))
+    val skipped = engineSeq.filter(_._4 == Outcome.Skipped)
+    assert(skipped.nonEmpty, "the corpus links to /p3 pages — some must be flagged")
+    assert(skipped.forall(_._3.contains("/p3")))
+    // skipped tasks end taskSkipped in the frontier (B6 → markSkipped)
+    val store = new SnapshotStore(stateDir, spark)
+    val statuses = store.readFrontier(store.latestVersion.get)
+      .filter(org.apache.spark.sql.functions.col("urlNorm").isin(skipped.map(_._3): _*))
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set(TaskStatus.Skipped))
+  }
+
   test("kill-after-round-k resume produces an identical crawl (F7/F8)") {
     val full = tmpDir("full"); val resumed = tmpDir("resumed")
     val corpus = CorpusTable.create(spark, spec)
