@@ -56,11 +56,27 @@ object ScalingBench {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle-volume accounting: total bytes written to + read from
+    // shuffles across the measured rounds — the quantity whose per-core
+    // contention sets the 8→32 ceiling on one socket (VERDICT round 1)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong()
+    val cpuTimeNs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        cpuTimeNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+      }
+    })
     def tmpDir(prefix: String): String =
       Files.createTempDirectory(java.nio.file.Paths.get(tmpBase), prefix).toString
     // warmup at small size to JIT/codegen before measuring
     Bench.crawlRounds(spark, tmpDir("graft-warm"),
       50000, 256, rounds = 1, roundBudget = 50000, textRepeat = textRepeat)
+    // zero the counters so only the measured run is accounted
+    shuffleWrite.set(0); shuffleRead.set(0); cpuTimeNs.set(0)
     val stateDir = tmpDir(s"graft-scaling-$cores")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val per = Bench.crawlRoundsDetailed(spark, stateDir, nPages,
@@ -70,7 +86,9 @@ object ScalingBench {
     val steady = if (per.length > 1) per.tail else per
     val fetches = steady.map(_._1).sum
     val sec = steady.map(_._2).sum
-    println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat,"rounds_measured":${steady.length},"warmup_round_sec":${per.head._2}%.2f}""")
+    val shufGb = (shuffleWrite.get + shuffleRead.get) / 1e9
+    val roundsRun = per.length
+    println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat,"rounds_measured":${steady.length},"warmup_round_sec":${per.head._2}%.2f,"shuffle_gb_total":$shufGb%.2f,"shuffle_gb_per_round":${shufGb / math.max(roundsRun, 1)}%.2f,"executor_cpu_sec":${cpuTimeNs.get / 1e9}%.1f}""")
     spark.stop()
   }
 }

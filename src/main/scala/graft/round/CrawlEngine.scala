@@ -258,7 +258,11 @@ object CrawlEngine {
       .transform(df => pickedType.fold(df)(t => df.filter(col("taskType") === t)))
       .join(hosts.select("host", "nextTick"), Seq("host"), "left")
       .filter(coalesce(col("nextTick"), lit(0L)) <= round)
-      .drop("nextTick")
+      // prune BEFORE the rank shuffles: the R1/R2 path re-shuffles these
+      // rows three times (salted window, host window, range partition) —
+      // every surviving column is paid 3x in shuffle bytes. Kept: ranking
+      // keys, join key, project chain, and the validator-visible columns.
+      .select("id", "urlNorm", "host", "priority", "warcTs", "projectId", "taskType")
 
     // R1 two-step salted per-host rank (skew-proof top-k)
     val salts = 8
@@ -344,6 +348,9 @@ object CrawlEngine {
         posexplode(col("parsed.links")).as(Seq("pos", "href")))
       .withColumn("newNorm", urlResolve(col("parentUrl"), col("href")))
       .filter(col("newNorm").isNotNull)
+      // parentUrl/href served their purpose (resolution) — drop them
+      // before the dedup window shuffles every link row
+      .select("seq", "pos", "parentProject", "newNorm")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("newNorm")).orderBy(col("seq"), col("pos"))))
       .filter(col("rn") === 1)

@@ -64,9 +64,10 @@ final case class NoopRawSink() extends RawSink {
 
 /** Everything pluggable a round consumes. `validator` is the B5 batch-item
   * validator (`worker/.../validators/BatchTasksValidator.scala:5-7`) as a
-  * Column predicate over the leased frontier row (urlNorm/host/priority/
-  * projectId/taskType columns are in scope): rows it flags skip the fetch
-  * and end `taskSkipped` (B6 short-circuit). */
+  * Column predicate over the leased frontier row — columns in scope:
+  * id, urlNorm, host, priority, warcTs, projectId, taskType (the rank path
+  * prunes the rest before shuffling). Rows it flags skip the fetch and end
+  * `taskSkipped` (B6 short-circuit). */
 final case class PipelineHooks(
     parser: PageParser = DefaultParser,
     validator: Option[Column] = None,

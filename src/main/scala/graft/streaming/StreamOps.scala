@@ -40,7 +40,18 @@ object StreamOps {
   /** S2/S3 — custom keyed state via mapGroupsWithState: per-user session
     * counting with a 30-min gap rule. State = (last event time, session
     * count); within a micro-batch events are sorted by time (the iterator
-    * order is not guaranteed). Batch twin: CrawlOps.sessionize. */
+    * order is not guaranteed). Batch twin: CrawlOps.sessionize.
+    *
+    * ORDERING CONTRACT (round-1 ADVICE): state carries only the MAX seen
+    * timestamp, so correctness requires a user's events to arrive in
+    * non-decreasing event-time order ACROSS micro-batches — true under
+    * `Trigger.AvailableNow` over a single drain (how [[runAvailableNow]]
+    * and the spec run it) and for time-ordered sources, but a multi-batch
+    * source that splits one user's history out of order will over-count
+    * sessions relative to the batch twin. A production deployment on
+    * unordered input should sessionize in event-time (window gap or a
+    * buffered flatMapGroupsWithState with an event-time timeout) instead
+    * of this processing-order fold. */
   def sessionCounts(events: Dataset[UserEvent], gapMinutes: Int = 30): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
