@@ -75,6 +75,7 @@ object SparkEntry {
     // ---- §2.J streaming-shaped (batch twins) ----------------------------
     "window_counts" -> ((s, d) => CrawlOps.windowCounts(t(s, d, "events"))),
     "sessionize" -> ((s, d) => CrawlOps.sessionize(t(s, d, "events"))),
+    "sessionize_window" -> ((s, d) => CrawlOps.sessionizeWindow(t(s, d, "events"))),
     // ---- dedup family ----------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents")).orderBy(col("fp"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -86,6 +87,8 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding_cos" -> ((s, d) =>
       Similarity.cosineNearDup(t(s, d, "embeddings")).orderBy(col("vec_a"), col("vec_b"))),
+    "dedup_embedding_rplsh" -> ((s, d) =>
+      Similarity.rpLshNearDup(t(s, d, "embeddings")).orderBy(col("vec_a"), col("vec_b"))),
     // ---- similarity search ----------------------------------------------
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings")).orderBy(col("query_id"), col("rank"))),
@@ -250,6 +253,35 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" -> SqlJaccardPairs,
     "dedup_minhash_lsh" -> SqlJaccardPairs,
+    "sessionize_window" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM t),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM x GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+    "dedup_embedding_rplsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+        |        / (a.nrm*b.nrm), 4) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+        |        / (a.nrm*b.nrm), 4) >= 0.5
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_embedding_cos" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -30,4 +30,39 @@ object VectorFunctions {
   /** Cosine from pre-cast double arrays + precomputed norms. */
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dotUdf(a, b) / (na * nb)
+
+  // ---------------- random-hyperplane (sign) LSH --------------------------
+
+  /** Deterministic hyperplane matrix for sign-LSH: entry (i, d) is a
+    * seeded uniform draw in [-1, 1) from Det.xxhash64 — the same rows on
+    * every executor and every run, no broadcast needed. Cached per
+    * (nBits, dims). */
+  private val hyperCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private[graft] def hyperplanes(nBits: Int, dims: Int): Array[Array[Double]] =
+    hyperCache.computeIfAbsent((nBits, dims), { case (b, d) =>
+      Array.tabulate(b, d)((i, j) =>
+        graft.core.Det.xxhash64(s"rp:$i:$j").toDouble / Long.MaxValue)
+    })
+
+  /** (band, bandKey) pairs of the sign-LSH signature: bit i is the sign of
+    * v · h_i; `bitsPerBand` consecutive bits pack into one band key. Two
+    * vectors at angle θ agree on a bit with prob 1 − θ/π, so a band
+    * collides with that prob^bitsPerBand — the caller picks the
+    * (bitsPerBand, bands) point on the recall/blocking curve. */
+  def rpBandsUdf(bitsPerBand: Int, bands: Int): UserDefinedFunction =
+    udf((v: Seq[Double]) => {
+      val nBits = bitsPerBand * bands
+      val arr = v.toArray
+      val h = hyperplanes(nBits, arr.length)
+      Array.tabulate(bands) { b =>
+        var key = 0L
+        var i = b * bitsPerBand
+        while (i < (b + 1) * bitsPerBand) {
+          key = (key << 1) | (if (TextCore.dot(h(i), arr) >= 0) 1L else 0L)
+          i += 1
+        }
+        (b, key)
+      }
+    })
 }

@@ -223,6 +223,24 @@ object CrawlOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Event-time sessionization via Spark's native `session_window` — the
+    * disorder-robust twin of [[sessionize]]: sessions merge correctly no
+    * matter how input is split or ordered (the engine computes gaps in
+    * event time, not arrival order), which is the production answer to the
+    * cross-batch ordering caveat on StreamOps.sessionCounts. The same
+    * frame runs under readStream with a watermark. `session_window.end`
+    * is last-event + gap, so session_end subtracts the gap back out to
+    * equal max(ts) — aligned with [[sessionize]] and the SQL oracle. */
+  def sessionizeWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"),
+        (col("w.end") - expr(s"INTERVAL $gapMinutes minutes")).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Session assignment: a new session starts after a >30-min gap per user
     * (lag + running sum — the batch twin of mapGroupsWithState
     * sessionization in StreamingSpec). */

@@ -77,6 +77,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Random-hyperplane (sign) LSH near-dup pairs — the bucketed scale twin
+    * of [[cosineNearDup]]: signature bits from seeded hyperplanes, banded
+    * equi-join for candidates, exact-cosine verify (precision is exact;
+    * recall is the LSH curve, chosen by the band shape).
+    *
+    * Band-shape guidance: a pair at cosine s collides per bit with
+    * p = 1 − acos(s)/π, per band with p^bitsPerBand.
+    *  - production dedup (s ≥ 0.9): bitsPerBand=8, bands=32 → miss ≈ 2e-5,
+    *    near-orthogonal pairs collide on a band with prob ≈ 0.004 — real
+    *    blocking at corpus scale.
+    *  - low thresholds (s ≈ 0.5, the driver-oracle setting): bitsPerBand=2,
+    *    bands=64 → miss ≈ 5e-17 (provably-exact recall for the oracle) at
+    *    the cost of weak blocking — low-similarity near-dup search is
+    *    fundamentally un-blockable, which is why [[cosineNearDup]] stays
+    *    the documented baseline there.
+    * `maxBucketSize` caps degenerate buckets exactly like Dedup.minhashLsh. */
+  def rpLshNearDup(embeddings: DataFrame, threshold: Double = 0.5,
+                   bitsPerBand: Int = 2, bands: Int = 64,
+                   maxBucketSize: Int = 1 << 16): DataFrame = {
+    val p = prepared(embeddings)
+    val sigs = p.select(col("vec_id"),
+        explode(rpBandsUdf(bitsPerBand, bands)(col("v"))).as("bk"))
+      .select(col("vec_id"), col("bk._1").as("band"), col("bk._2").as("bh"))
+    val sized = sigs.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .select(col("band"), col("bh"))
+    val kept = sigs.join(sized, Seq("band", "bh"))
+    val candidates = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val a = p.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    candidates.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos", round(cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Embedding near-dup pairs: all (a,b), a<b, cosine ≥ threshold.
     * Exact O(n²) pair join — the oracle-checkable baseline; LSH/IVF
     * blocking replaces the cross join at corpus scale. */

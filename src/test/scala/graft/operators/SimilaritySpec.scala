@@ -22,6 +22,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("RP-LSH near-dup equals exact cosine pairs on planted dups (production band shape)") {
+    import spark.implicits._
+    // deterministic synthetic corpus with planted high-cosine near-dups:
+    // base vectors + slightly-perturbed copies (cos > 0.95)
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(32)(d => (graft.core.Det.pmod(
+        graft.core.Det.xxhash64(s"v:$seed:$d"), 2000L) - 1000L).toFloat / 1000f)
+    def perturb(v: Seq[Float], seed: Int): Seq[Float] =
+      v.zipWithIndex.map { case (x, d) => x + (graft.core.Det.pmod(
+        graft.core.Det.xxhash64(s"p:$seed:$d"), 100L) - 50L).toFloat / 5000f }
+    val bases = (0 until 40).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 10).map(i => (100L + i, perturb(bases(i)._2, i)))
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDup(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size >= 10, s"planted dups missing: ${exact.size}")
+    val lsh = Similarity.rpLshNearDup(df, threshold = 0.9, bitsPerBand = 8, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
+    // bucket guard bounds a degenerate corpus (all-identical vectors)
+    val same = (0L until 30L).map(i => (i, bases.head._2)).toDF("vec_id", "embedding")
+    assert(Similarity.rpLshNearDup(same, 0.9, 8, 32, maxBucketSize = 5).count() == 0)
+    assert(Similarity.rpLshNearDup(same, 0.9, 8, 32).count() == 30L * 29 / 2)
+  }
+
   test("IVF top-k recall >= 0.6 vs brute force") {
     val bf = Similarity.bruteForceTopK(emb, nQueries = 4, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

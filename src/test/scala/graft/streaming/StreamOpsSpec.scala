@@ -34,6 +34,18 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("session_window sessionization equals the lag+running-sum formulation") {
+    // two independent formulations of the same gap rule must agree row-for-row
+    // ts is timestamp_ntz in the driver tables → collect as LocalDateTime
+    val viaWindow = CrawlOps.sessionizeWindow(batchEvents).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.getLong(3))).toSet
+    val viaLag = CrawlOps.sessionize(batchEvents)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.getLong(3))).toSet
+    assert(viaWindow.nonEmpty && viaWindow == viaLag)
+  }
+
   test("mapGroupsWithState session counts equal the batch sessionize") {
     import spark.implicits._
     val stream = StreamOps.parquetStream(spark, eventsDir, batchEvents.schema)
