@@ -126,6 +126,16 @@ case class CrawlConfig(
     // vanishes. Seeds enter under projects.head; discovered links chain to
     // the parent project's nextProjectId.
     projects: Seq[ProjectSpec] = Seq(ProjectSpec.default),
+    // Frontier commit layout. "full" rewrites the whole frontier each
+    // round (simple; write cost ∝ frontier size — fine locally, impossible
+    // at 10^10 rows/round). "delta" writes ONLY the rows a round changed
+    // (status rewrites ≤ roundBudget + discovered links) and merges
+    // keep-latest-by-id at read time (Iceberg merge-on-read semantics),
+    // with a full compaction snapshot every `frontierCompactEvery` commits
+    // to bound the read-side merge fan-in. Crawl output is bit-identical
+    // either way (CrawlEngineSpec pins it).
+    frontierLayout: String = "full",
+    frontierCompactEvery: Int = 8,
     maxRounds: Int = 64,
     seed: Long = 42L,
     // R7 partitioned bloom URL-seen set: pre-filters the discovered-link

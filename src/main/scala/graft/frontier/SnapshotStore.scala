@@ -66,7 +66,30 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
     """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
   }
 
-  def readFrontier(v: Int): DataFrame = spark.read.parquet(dir(v, "frontier"))
+  /** The frontier at version v. A "full" commit is read directly; a
+    * "delta" commit (merge-on-read layout) is reconstructed as the latest
+    * full base plus every delta up to v, keeping the NEWEST row per id —
+    * Iceberg merge-on-read semantics over plain parquet. The window's
+    * shuffle is on id, the same key the status rewrite shuffles on anyway;
+    * what the layout buys is write cost ∝ changed rows instead of
+    * ∝ frontier size per round. */
+  def readFrontier(v: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = readMeta(v)
+    meta.get("frontierFormat") match {
+      case Some("delta") =>
+        val base = meta("frontierBase").toInt
+        val parts = (base to v).map(k =>
+          spark.read.parquet(dir(k, "frontier")).withColumn("__v", lit(k)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("__v").desc)
+        parts.reduce(_ unionByName _)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__v", "__rn")
+      case _ => spark.read.parquet(dir(v, "frontier"))
+    }
+  }
   def readHosts(v: Int): DataFrame = spark.read.parquet(dir(v, "hosts"))
 
   /** R7 seen-filter shards ((shard, bytes) rows), written as part of the

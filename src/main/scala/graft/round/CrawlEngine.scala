@@ -239,11 +239,21 @@ object CrawlEngine {
       version: Int, // previous committed snapshot
       round: Int,
       nextId: Long,
-      hooks: PipelineHooks = PipelineHooks()): Option[RoundOutcome] = {
+      hooks: PipelineHooks = PipelineHooks(),
+      // global wait-count after the previous round, if the caller knows it
+      // (-1 = unknown); lets delta-layout rounds maintain the count
+      // incrementally instead of re-scanning the merged frontier
+      knownWaits: Long = -1L): Option[RoundOutcome] = {
     import spark.implicits._
 
     val frontier = store.readFrontier(version)
     val hosts = store.readHosts(version)
+    // merge-on-read layout: write only changed rows this round, unless this
+    // commit is a compaction point (periodic full rewrite bounds the
+    // read-side merge fan-in)
+    val deltaMode = cfg.frontierLayout == "delta" &&
+      (version + 1) % math.max(cfg.frontierCompactEvery, 1) != 0
+    val prevBase = store.readMeta(version).get("frontierBase").map(_.toInt).getOrElse(version)
     // lease multiplexing: one seeded-pick task type per round — the
     // deterministic twin of the master's random pick among registered
     // types (`QueueTaskServiceImpl.scala:32-55`)
@@ -431,8 +441,10 @@ object CrawlEngine {
     // (serial, ∝ round size — measured as the 32-core scaling ceiling).
     // AQE sees the cached size and still broadcasts genuinely small rounds.
     val outcomes = fetched.select(col("id"), col("outcome")).hint("shuffle_hash")
+    // delta commits keep ONLY the rows this round touched (inner join);
+    // full commits rewrite everything (left join) — same rewrite exprs
     val updated = frontier
-      .join(outcomes, Seq("id"), "left")
+      .join(outcomes, Seq("id"), if (deltaMode) "inner" else "left")
       .withColumn("newAttempt",
         when(col("outcome") === Outcome.GenericFailed, col("attempt") + 1)
           .otherwise(col("attempt")))
@@ -525,10 +537,18 @@ object CrawlEngine {
         "round" -> round.toString,
         "nextId" -> (nextId + obsLong("newLinks", 0L)).toString,
         "selected" -> selectedCount.toString,
-        "newLinks" -> obsLong("newLinks", 0L).toString) ++ outcomeCounts
+        "newLinks" -> obsLong("newLinks", 0L).toString,
+        "frontierFormat" -> (if (deltaMode) "delta" else "full"),
+        "frontierBase" -> (if (deltaMode) prevBase else version + 1).toString) ++ outcomeCounts
     }))
     val newLinkCount = obsLong("newLinks", 0L)
-    val waitsRemaining = obsLong("waits", -1L)
+    // full commit: the observation saw the whole frontier. Delta commit:
+    // it saw only touched rows — every selected row left the wait pool and
+    // re-entered iff its delta row is Wait, untouched waits carried over.
+    val waitsRemaining =
+      if (!deltaMode) obsLong("waits", -1L)
+      else if (knownWaits >= 0) knownWaits - selectedCount + obsLong("waits", 0L)
+      else -1L
     fetched.unpersist(blocking = true)
     discovered.unpersist(blocking = true)
     rankedCache.unpersist(blocking = true)
@@ -570,13 +590,15 @@ object CrawlEngine {
     // nothing-eligible jump
     var waitsKnown: Long = -1L
     while (running && round < cfg.maxRounds) {
-      val haveWaits =
-        if (waitsKnown >= 0) waitsKnown > 0
-        else !store.readFrontier(version)
-          .filter(col("status") === TaskStatus.Wait).isEmpty
-      if (!haveWaits) running = false
+      // unknown wait-count (resume entry, or a delta round that lost it):
+      // one counting scan seeds the incrementally-maintained counter
+      if (waitsKnown < 0)
+        waitsKnown = store.readFrontier(version)
+          .filter(col("status") === TaskStatus.Wait).count()
+      if (waitsKnown == 0) running = false
       else {
-        runRound(spark, store, corpusN, rulesDf, cfg, version, round, nextId, hooks) match {
+        runRound(spark, store, corpusN, rulesDf, cfg, version, round, nextId, hooks,
+            knownWaits = waitsKnown) match {
           case Some(out) =>
             version += 1
             meta = store.readMeta(version)
