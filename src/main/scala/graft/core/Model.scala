@@ -112,6 +112,15 @@ case class CrawlConfig(
     // 86-96`; cap=3 in `worker.conf:20`). 0 disables (default: the
     // reference ships it on the resource pool, not per host).
     maxHostFailures: Int = 0,
+    // A5 resource pool (`configuration.proto` torConfig/proxyConfig): the
+    // registered fetch resources (proxy/Tor endpoints in the reference).
+    // Each leased batch is served by the LEAST-USED resource — the
+    // deterministic twin of `MongoConfigurationProvider.scala:59-99`
+    // `findOneAndUpdate(sort asc usedCount, inc usedCount)` — with id-asc
+    // tiebreak, and its usedCount persists in the snapshot manifest so a
+    // resumed crawl balances exactly where it left off. Resource-pool
+    // failure closing lives at host level here (maxHostFailures / D3).
+    resources: Seq[String] = Seq("default"),
     // corpus staging: "memory" persists the normalized corpus (right for a
     // single box where it fits); "bucketed" writes it once as an on-disk
     // parquet table bucketed on urlNorm — the 100 TB form: no cache, html

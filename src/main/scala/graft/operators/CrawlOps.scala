@@ -228,16 +228,23 @@ object CrawlOps {
     * matter how input is split or ordered (the engine computes gaps in
     * event time, not arrival order), which is the production answer to the
     * cross-batch ordering caveat on StreamOps.sessionCounts. The same
-    * frame runs under readStream with a watermark. `session_window.end`
-    * is last-event + gap, so session_end subtracts the gap back out to
-    * equal max(ts) — aligned with [[sessionize]] and the SQL oracle. */
+    * frame runs under readStream with a watermark.
+    *
+    * Boundary semantics (pinned by StreamOpsSpec's exact-gap test, because
+    * it is easy to get wrong in both directions): Spark merges session
+    * windows INCLUSIVELY at the boundary — an event landing exactly on the
+    * previous window's end (diff == gap) joins the SAME session, and only
+    * diff > gap starts a new one. That is precisely [[sessionize]]'s
+    * `diff > gap` rule and the SQL oracle's, so the twins agree at every
+    * boundary with the plain gap. `session_window.end` is last-event +
+    * gap, so session_end subtracts the gap back out to equal max(ts). */
   def sessionizeWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         col("w.start").as("session_start"),
-        (col("w.end") - expr(s"INTERVAL $gapMinutes minutes")).as("session_end"),
+        (col("w.end") - expr(s"INTERVAL '$gapMinutes' MINUTE")).as("session_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 

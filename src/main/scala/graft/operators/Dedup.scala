@@ -35,6 +35,28 @@ object Dedup {
     documents
       .select(col("doc_id"), explode(shingleSetUdf(n)(col("text"))).as("sh"))
 
+  /** Per-doc band hashes: (doc_id, band, bh) — shared by [[minhashLsh]]
+    * (bucket join) and [[oversizedBuckets]] (capped-bucket report). */
+  private def bandHashes(documents: DataFrame, n: Int, k: Int, bands: Int): DataFrame =
+    documents
+      .select(col("doc_id"), explode(minhashBandsUdf(n, k, bands)(col("text"))).as("bk"))
+      .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("bh"))
+
+  /** The buckets [[minhashLsh]] DROPPED under the same arguments: one row
+    * per (band, bh) whose population exceeds `maxBucketSize`, with the
+    * count. Run this after a capped LSH pass to see which degenerate
+    * clusters (boilerplate/empty docs) were excluded from the pair join —
+    * their members are better handled as a connected component than as
+    * O(size²) pairs. */
+  def oversizedBuckets(documents: DataFrame, n: Int = 3, k: Int = 64,
+                       bands: Int = 16, maxBucketSize: Int = 1 << 16): DataFrame = {
+    require(k % bands == 0)
+    bandHashes(documents, n, k, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+  }
+
   /** Exact n-gram Jaccard similarity for every doc pair sharing ≥1 shingle,
     * thresholded. O(pairs-sharing-a-shingle); at corpus scale use
     * [[minhashLsh]] which produces the same pairs above the threshold. */
@@ -74,9 +96,7 @@ object Dedup {
                  bands: Int = 16, threshold: Double = 0.8,
                  maxBucketSize: Int = 1 << 16): DataFrame = {
     require(k % bands == 0)
-    val sigs = documents
-      .select(col("doc_id"), explode(minhashBandsUdf(n, k, bands)(col("text"))).as("bk"))
-      .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("bh"))
+    val sigs = bandHashes(documents, n, k, bands)
     // bucket-size guard: count per (band, bh), keep rows of sane buckets.
     // The count and the join shuffle on the same key — co-partitioned,
     // one extra narrow stage, no second pass over `documents`.

@@ -62,6 +62,29 @@ final case class NoopRawSink() extends RawSink {
   override def write(raw: DataFrame, version: Int): Unit = ()
 }
 
+/** Stop reasons the driver loop reports through [[CrawlNotifier]] — the
+  * engine's taxonomy of the reference's crawl-stop conditions. */
+object StopReason {
+  /** No wait-state rows remain: the crawl drained its frontier. */
+  val Completed = "completed"
+  /** Every host still holding waits is closed by the D3 circuit breaker —
+    * the `NoResourcesAvailable` stop (`TorResourceController.scala:59-60,
+    * 86-96`). */
+  val NoResourcesAvailable = "noResourcesAvailable"
+  /** cfg.maxRounds hit with work remaining (F6 batch-timeout analog). */
+  val MaxRounds = "maxRounds"
+}
+
+/** Notification seam mirroring the reference's pipeline-configured
+  * notifications (`worker/.../notification/NotificationExecutor.scala` +
+  * `BaseNotification.scala`, which warn on `NoResourcesAvailable`): the
+  * driver loop calls every registered notifier once when the crawl stops,
+  * with the [[StopReason]] and the final summary. Runs on the driver —
+  * implementations may log, push metrics, or page. */
+trait CrawlNotifier {
+  def onStop(reason: String, summary: CrawlEngine.CrawlSummary): Unit
+}
+
 /** Everything pluggable a round consumes. `validator` is the B5 batch-item
   * validator (`worker/.../validators/BatchTasksValidator.scala:5-7`) as a
   * Column predicate over the leased frontier row — columns in scope:
@@ -72,4 +95,5 @@ final case class PipelineHooks(
     parser: PageParser = DefaultParser,
     validator: Option[Column] = None,
     rawSinks: Seq[RawSink] = Nil,
-    parsedSinks: Seq[ParsedSink] = Nil)
+    parsedSinks: Seq[ParsedSink] = Nil,
+    notifiers: Seq[CrawlNotifier] = Nil)

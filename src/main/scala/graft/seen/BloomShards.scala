@@ -2,7 +2,6 @@ package graft.seen
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -162,10 +161,19 @@ object BloomShards {
     Shards(old.nShards, arr)
   }
 
-  /** Probe column: true iff `key` MIGHT be in the seen set. */
+  /** Probe column: true iff `key` MIGHT be in the seen set.
+    *
+    * The shard bytes ride the UDF closure, NOT an explicit broadcast: a
+    * Column has no lifecycle seam where library code could `destroy()` a
+    * broadcast after the caller's action, so an explicit one leaks — one
+    * orphan per call (round-2 VERDICT). Spark ships the task binary (and
+    * with it this closure) as its own internally-managed torrent broadcast
+    * and the ContextCleaner reclaims it when the query's RDDs are GC'd, so
+    * repeated calls accumulate nothing. Operator-path shard sets are small
+    * (the 10^10-scale path is [[probeFlagsDf]], where bytes stay a
+    * Dataset); BloomShardsSpec pins the no-new-user-broadcast behavior. */
   def probeCol(spark: SparkSession, shards: Shards, key: Column): Column = {
-    val b: Broadcast[Shards] = spark.sparkContext.broadcast(shards)
-    val probeUdf = udf((k: String) => k != null && b.value.mightContain(k))
+    val probeUdf = udf((k: String) => k != null && shards.mightContain(k))
     probeUdf(key.cast("string"))
   }
 
@@ -216,6 +224,38 @@ object BloomShards {
         throw new IllegalStateException(s"seen-shard $sid duplicated in snapshot")
       if (ks.isEmpty) Iterator.single((sid, existing.head))
       else {
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(existing.head))
+        ks.foreach { case (k, _) => f.putString(k) }
+        val bos = new ByteArrayOutputStream(); f.writeTo(bos)
+        Iterator.single((sid, bos.toByteArray))
+      }
+    }.toDF("shard", "bytes")
+  }
+
+  /** Like [[updateDf]] but emits ONLY the shards that received at least
+    * one new key — the delta-commit write set (round-2 scale-killer A: a
+    * full rewrite of every shard's bytes per round is ~12 GB of parquet at
+    * 10^10 URLs @1% FPP no matter how few shards changed). Untouched
+    * shards are neither read nor rewritten; the snapshot layer merges
+    * keep-latest-by-shard over base..v on read, so the probe modulus never
+    * shrinks (a missing shard row still fails loudly at merge time via
+    * [[updateDf]]/[[probeFlagsDf]] existence checks). */
+  def updateTouchedDf(shards: DataFrame, newKeys: DataFrame, keyCol: String,
+                      nShards: Int): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val keysKV = withShard(newKeys, keyCol, nShards)
+      .as[(String, Int)].groupByKey(_._2)
+    val shardsKV = shards.select(col("shard").cast("int"), col("bytes"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    shardsKV.cogroup(keysKV) { (sid, bs, ks) =>
+      if (ks.isEmpty) Iterator.empty // untouched: pass-through is implicit in merge-on-read
+      else {
+        val existing = bs.map(_._2).toList
+        if (existing.isEmpty)
+          throw new IllegalStateException(s"seen-shard $sid missing from snapshot")
+        if (existing.sizeIs > 1)
+          throw new IllegalStateException(s"seen-shard $sid duplicated in snapshot")
         val f = BloomFilter.readFrom(new ByteArrayInputStream(existing.head))
         ks.foreach { case (k, _) => f.putString(k) }
         val bos = new ByteArrayOutputStream(); f.writeTo(bos)

@@ -50,6 +50,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == exact)
   }
 
+  test("oversizedBuckets reports exactly the buckets the guard dropped") {
+    import spark.implicits._
+    val same = (0L until 40L).map(i => (i, "the same boilerplate text repeated again and again"))
+      .toDF("doc_id", "text")
+    // identical docs: every band has one bucket holding all 40 docs
+    val over = Dedup.oversizedBuckets(same, maxBucketSize = 10).collect()
+    assert(over.length == 16, s"one oversize bucket per band expected, got ${over.length}")
+    assert(over.forall(_.getLong(2) == 40L))
+    // cap above the population → nothing reported (mirror of guard-off)
+    assert(Dedup.oversizedBuckets(same, maxBucketSize = 100).count() == 0)
+    // sane corpus under the default cap → nothing capped, nothing reported
+    assert(Dedup.oversizedBuckets(docs).count() == 0)
+  }
+
   test("simhash rejects maxHamming the banding cannot guarantee") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, maxHamming = 4)

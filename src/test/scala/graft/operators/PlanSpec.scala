@@ -70,6 +70,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"html not pruned from narrow scan: $readSchema")
   }
 
+  test("minhash bucket-guard join is co-partitioned (no extra exchange)") {
+    import graft.functions.TextFunctions._
+    // the guard's shape from Dedup.minhashLsh: the per-bucket count and the
+    // keep-join both key on (band, bh) — at most one exchange per join side,
+    // never a third on top of the join (the co-partitioning claim in
+    // Dedup.scala; round-2 VERDICT asked for this pin)
+    val d = t("documents")
+    val sigs = d
+      .select(col("doc_id"), explode(minhashBandsUdf(3, 64, 16)(col("text"))).as("bk"))
+      .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("bh"))
+    val sized = sigs.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= (1 << 16))
+      .select(col("band"), col("bh"))
+    val kept = sigs.join(sized, Seq("band", "bh"))
+    kept.collect()
+    val plan = kept.queryExecution.executedPlan.toString
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val exchanges = finalSection.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"bucket-guard join introduced an extra exchange:\n$plan")
+  }
+
   test("staged fetch join: corpus side reuses its partitioning (no exchange)") {
     import spark.implicits._
     val corpus = graft.corpus.CorpusTable.createLarge(spark, 1000, 16)

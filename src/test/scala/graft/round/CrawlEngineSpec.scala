@@ -138,7 +138,10 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
     val full = tmpDir("layout-full"); val delta = tmpDir("layout-delta")
     val corpus = CorpusTable.create(spark, spec)
     CrawlEngine.crawl(spark, new SnapshotStore(full, spark), corpus, CorpusGen.seeds(spec), cfg)
-    val deltaCfg = cfg.copy(frontierLayout = "delta", frontierCompactEvery = 3)
+    // delta layout covers ALL THREE mutable state tables this round:
+    // frontier, hosts, and (with the filter on) seen shards
+    val deltaCfg = cfg.copy(frontierLayout = "delta", frontierCompactEvery = 3,
+      seenFilter = true, seenShards = 8)
     // interrupt + resume across a compaction boundary to exercise both
     // delta reads (merged view) and full compaction snapshots
     CrawlEngine.crawl(spark, new SnapshotStore(delta, spark),
@@ -155,10 +158,74 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
       .select("id", "urlNorm", "status", "attempt")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
     assert(snap(store) == snap(fStore))
-    // the layout actually wrote deltas: some committed version is marked so
-    val formats = (0 to store.latestVersion.get)
-      .map(v => store.readMeta(v).getOrElse("frontierFormat", "full"))
-    assert(formats.contains("delta"), s"no delta commits in $formats")
+    // the layout actually wrote deltas for every state table
+    val latest = store.latestVersion.get
+    def formats(k: String) = (0 to latest).map(v => store.readMeta(v).getOrElse(k, "full"))
+    assert(formats("frontierFormat").contains("delta"), "no frontier delta commits")
+    assert(formats("hostsFormat").contains("delta"), "no hosts delta commits")
+    assert(formats("seenFormat").contains("delta"), "no seen delta commits")
+    // and a delta commit wrote ∝ touched rows, not ∝ table size: some delta
+    // version's on-disk hosts/seen dirs are smaller than the merged view
+    val deltaVs = (1 to latest)
+      .filter(v => store.readMeta(v).get("hostsFormat").contains("delta"))
+    assert(deltaVs.exists { v =>
+      spark.read.parquet(s"$delta/v=$v/hosts").count() < store.readHosts(v).count()
+    }, "every hosts delta rewrote the full host table")
+    assert(deltaVs.exists { v =>
+      spark.read.parquet(s"$delta/v=$v/seen").count() < 8
+    }, "every seen delta rewrote all shards")
+  }
+
+  test("resume with a different seenShards than the snapshot is refused") {
+    val stateDir = tmpDir("shardguard")
+    val corpus = CorpusTable.create(spark, spec)
+    val c4 = cfg.copy(seenFilter = true, seenShards = 4)
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), c4.copy(maxRounds = 2))
+    val ex = intercept[IllegalArgumentException] {
+      CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+        corpus, CorpusGen.seeds(spec), c4.copy(seenShards = 8))
+    }
+    assert(ex.getMessage.contains("seenShards"), ex.getMessage)
+  }
+
+  test("staged corpus table is re-staged when the same dir holds a different corpus") {
+    val dir = tmpDir("stage-reuse")
+    val a = CorpusTable.create(spark, spec)
+    val stagedA = CrawlEngine.corpusStagedBucketed(spark, a, dir)
+    val ca = stagedA.count()
+    val specB = CorpusGen.Spec(nHosts = 3, pagesPerHost = 10)
+    val b = CorpusTable.create(spark, specB)
+    val cbExpected = CrawlEngine.corpusNorm(b).count()
+    assert(cbExpected != ca, "test needs corpora of different sizes")
+    // same state dir, different corpus: round-2 code silently served A
+    val stagedB = CrawlEngine.corpusStagedBucketed(spark, b, dir)
+    assert(stagedB.count() == cbExpected, "stale staged corpus served on reuse")
+  }
+
+  test("pre-multiproject snapshot schema resumes via backfill (schema compat)") {
+    val full = tmpDir("compat-full"); val old = tmpDir("compat-old")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(full, spark), corpus, CorpusGen.seeds(spec), cfg)
+    CrawlEngine.crawl(spark, new SnapshotStore(old, spark),
+      corpus, CorpusGen.seeds(spec), cfg.copy(maxRounds = 3))
+    // rewrite the latest snapshot in the round-1-era schema (no projectId/
+    // taskType on the frontier, no failCount on hosts) — materialize to the
+    // driver first so the overwrite doesn't race the lazy read
+    val store = new SnapshotStore(old, spark)
+    val v = store.latestVersion.get
+    def rewrite(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+      val rows = df.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), df.schema)
+        .write.mode("overwrite").parquet(path)
+    }
+    rewrite(store.readFrontier(v).drop("projectId", "taskType"), s"$old/v=$v/frontier")
+    rewrite(store.readHosts(v).drop("failCount"), s"$old/v=$v/hosts")
+    // resume must backfill the defaults and produce the identical crawl
+    CrawlEngine.crawl(spark, new SnapshotStore(old, spark), corpus, CorpusGen.seeds(spec), cfg)
+    val (x, _) = engineFetches(full)
+    val (y, _) = engineFetches(old)
+    assert(x == y)
   }
 
   test("multi-project taskType multiplexing: engine matches simulator, links chain projects") {

@@ -59,6 +59,54 @@ class BloomShardsSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("seen-shard") || ex.getCause != null)
   }
 
+  test("updateTouchedDf writes only touched shards; merged view equals a full update") {
+    import spark.implicits._
+    val n = 8
+    val base = BloomShards.buildDf((0 until 1000).map(i => s"u$i").toDF("k"), "k", n,
+      expectedPerShard = 1024)
+    val newKeys = Seq("zz-new-key-1").toDF("k") // one key → exactly one touched shard
+    val touched = BloomShards.updateTouchedDf(base, newKeys, "k", n)
+    assert(touched.count() == 1, "delta write set must contain only the touched shard")
+    // merge-on-read semantics: touched rows override, untouched come from base
+    val merged = touched.unionByName(
+      base.join(touched.select("shard"), Seq("shard"), "left_anti"))
+    assert(merged.count() == n)
+    val all = ((0 until 1000).map(i => s"u$i") :+ "zz-new-key-1").toDF("k")
+    assert(BloomShards.probeFlagsDf(all, "k", merged, n)
+      .filter(not(col("maybe"))).count() == 0, "merged delta view has a false negative")
+    // bit-parity with the full-update path on an arbitrary probe set
+    val full = BloomShards.updateDf(base, newKeys, "k", n)
+    val probes = (0 until 3000 by 3).map(i => s"p$i").toDF("k")
+    val a = BloomShards.probeFlagsDf(probes, "k", merged, n)
+      .as[(String, Boolean)].collect().toMap
+    val b = BloomShards.probeFlagsDf(probes, "k", full, n)
+      .as[(String, Boolean)].collect().toMap
+    assert(a == b)
+  }
+
+  test("repeated probeCol/notSeen calls accumulate no broadcast blocks") {
+    import spark.implicits._
+    import org.scalatest.concurrent.Eventually._
+    import org.scalatest.time.{Seconds, Span}
+    // probeCol ships shard bytes in the UDF closure (inside the Spark-managed
+    // task-binary broadcast) instead of an explicit broadcast it could never
+    // destroy (a Column has no post-action lifecycle seam) — so nothing can
+    // accumulate across calls once jobs complete and references drop.
+    val seen = (0 until 2000).map(i => s"u$i").toDF("k")
+    val candidates = (1000 until 3000).map(i => s"u$i").toDF("k")
+    def blocks() = org.apache.spark.graftaccess.GraftTestAccess.broadcastBlockCount(spark)
+    System.gc()
+    val baseline = eventually(timeout(Span(30, Seconds))) { val b = blocks(); b }
+    (0 until 5).foreach { _ =>
+      assert(BloomShards.notSeen(candidates, seen, "k", nShards = 4).count() == 1000)
+    }
+    eventually(timeout(Span(30, Seconds))) {
+      System.gc() // let the ContextCleaner reap anything unreferenced
+      assert(blocks() <= baseline + 2,
+        s"broadcast blocks grew from $baseline to ${blocks()} over 5 probe calls")
+    }
+  }
+
   test("empty seen set: everything is new") {
     import spark.implicits._
     val seen = Seq.empty[String].toDF("k")

@@ -46,6 +46,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaWindow.nonEmpty && viaWindow == viaLag)
   }
 
+  test("exact-gap boundary: the two sessionize twins agree (closed 30-min gap)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user 1: second event EXACTLY gap after the first → same session in
+    // both formulations (sessionize breaks only on diff > gap, and Spark
+    // merges session windows inclusively at the boundary — verified here,
+    // since an exclusive-end reading would predict a split).
+    // user 2: gap + 1µs → new session in both.
+    val df = Seq(
+      (1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00")),
+      (1L, 2L, Timestamp.valueOf("2026-01-01 00:30:00")),
+      (2L, 3L, Timestamp.valueOf("2026-01-01 00:00:00")),
+      (2L, 4L, Timestamp.valueOf("2026-01-01 00:30:00.000001"))
+    ).toDF("user_id", "event_id", "ts")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.get(1), r.get(2), r.getLong(3))
+    val viaLag = CrawlOps.sessionize(df)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(key).toSet
+    val viaWin = CrawlOps.sessionizeWindow(df).collect().map(key).toSet
+    assert(viaLag == viaWin, s"lag=$viaLag window=$viaWin")
+    // semantics, not just agreement: user 1 one session of 2; user 2 split
+    assert(viaLag.count(_._1 == 1L) == 1 && viaLag.count(_._1 == 2L) == 2)
+  }
+
   test("mapGroupsWithState session counts equal the batch sessionize") {
     import spark.implicits._
     val stream = StreamOps.parquetStream(spark, eventsDir, batchEvents.schema)
