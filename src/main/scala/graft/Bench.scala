@@ -28,7 +28,12 @@ object Bench {
   def crawlRoundsDetailed(spark: SparkSession, stateDir: String, nPages: Long,
                           nHosts: Int, rounds: Int, roundBudget: Int,
                           textRepeat: Int = 1,
-                          staging: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGING", "memory"))
+                          staging: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGING", "memory"),
+                          // "full" or "delta" — the latter with
+                          // SPARK_GRAFT_BENCH_SEEN=1 + bucketed staging is
+                          // the 100 TB configuration (VERDICT r2 item 9)
+                          layout: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "full"),
+                          seenFilter: Boolean = sys.env.get("SPARK_GRAFT_BENCH_SEEN").contains("1"))
       : Vector[(Long, Double)] = {
     import spark.implicits._
     val corpus = CorpusTable.createLarge(spark, nPages, nHosts, textRepeat = textRepeat)
@@ -48,13 +53,23 @@ object Bench {
       col("warcTs"), lit(0).as("discoveredRound"),
       lit("default").as("projectId"), lit("default").as("taskType"))
     val hosts0 = Seq.empty[(String, Long, Int)].toDF("host", "nextTick", "failCount")
-    store.commit(0, frontier0, hosts0, None, Map("nextRound" -> "0", "nextId" -> nPages.toString))
-
     val cfg = CrawlConfig(
       // host budget sized so the round budget (not the politeness cap) binds
       hostBudgetPerRound = math.max(64, 2 * roundBudget / nHosts),
       roundBudget = roundBudget,
-      politenessCenterTicks = 0, politenessRadiusTicks = 0, maxRounds = rounds)
+      politenessCenterTicks = 0, politenessRadiusTicks = 0, maxRounds = rounds,
+      frontierLayout = layout, seenFilter = seenFilter,
+      // size shards for the corpus so the filter stays at its design FPP
+      seenExpectedPerShard = math.max(1L << 16, 2L * nPages / 16))
+    if (seenFilter)
+      store.writeSeen(0, graft.seen.BloomShards.buildDf(
+        frontier0.select("urlNorm"), "urlNorm", cfg.seenShards,
+        cfg.seenExpectedPerShard, cfg.seenFpp))
+    store.commit(0, frontier0, hosts0, None,
+      Map("nextRound" -> "0", "nextId" -> nPages.toString) ++
+        (if (!seenFilter) Map.empty[String, String]
+         else Map("seenFormat" -> "full", "seenBase" -> "0",
+           "seenShards" -> cfg.seenShards.toString)))
     val rules: Option[org.apache.spark.sql.DataFrame] = None // bench corpus serves no robots.txt
     val out = Vector.newBuilder[(Long, Double)]
     var fetched = 0L

@@ -53,6 +53,9 @@ object ExpectedOracles {
     sim.frontier.map(e => (e.id, e.urlNorm, e.host, e.status, e.attempt, e.priority))
       .sortBy(_._1)
 
+  /** A5 least-used resource acquisitions, straight from the simulator. */
+  def resourceUsed: Seq[(Int, String, Long)] = sim.resourceLog
+
   // ---------------------------------------------------- politeness (F2)
   /** Det.politenessDelay evaluated in plain Scala over the same
     * (user, round) grid as CrawlOps.politenessSchedule — this cross-checks
@@ -140,6 +143,8 @@ object ExpectedOracles {
         "extractedText", "nNewLinks"))
     write("crawl_frontier_final",
       crawlFrontierFinal.toDF("id", "urlNorm", "host", "status", "attempt", "priority"))
+    write("resource_used",
+      resourceUsed.toDF("round", "resource", "used_after"))
 
     val userIds = spark.read.parquet(s"$sfDir/events.parquet")
       .select("user_id").distinct().collect().map(_.getLong(0)).toSeq

@@ -62,12 +62,16 @@ object ScalingBench {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong()
     val cpuTimeNs = new java.util.concurrent.atomic.AtomicLong()
+    val outputBytes = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         shuffleRead.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
         cpuTimeNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+        // bytes written to data sinks (snapshot commits, seen shards) — the
+        // per-round state-write cost the delta layout is supposed to cut
+        outputBytes.addAndGet(sc.stageInfo.taskMetrics.outputMetrics.bytesWritten)
       }
     })
     def tmpDir(prefix: String): String =
@@ -76,7 +80,7 @@ object ScalingBench {
     Bench.crawlRounds(spark, tmpDir("graft-warm"),
       50000, 256, rounds = 1, roundBudget = 50000, textRepeat = textRepeat)
     // zero the counters so only the measured run is accounted
-    shuffleWrite.set(0); shuffleRead.set(0); cpuTimeNs.set(0)
+    shuffleWrite.set(0); shuffleRead.set(0); cpuTimeNs.set(0); outputBytes.set(0)
     val stateDir = tmpDir(s"graft-scaling-$cores")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val per = Bench.crawlRoundsDetailed(spark, stateDir, nPages,
@@ -86,9 +90,14 @@ object ScalingBench {
     val steady = if (per.length > 1) per.tail else per
     val fetches = steady.map(_._1).sum
     val sec = steady.map(_._2).sum
+    // all-rounds totals: the CPU counter spans every measured round, so the
+    // CPU-seconds-normalized throughput must use the matching numerator
+    val fetchesAll = per.map(_._1).sum
+    val secAll = per.map(_._2).sum
     val shufGb = (shuffleWrite.get + shuffleRead.get) / 1e9
+    val outGb = outputBytes.get / 1e9
     val roundsRun = per.length
-    println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat,"rounds_measured":${steady.length},"warmup_round_sec":${per.head._2}%.2f,"shuffle_gb_total":$shufGb%.2f,"shuffle_gb_per_round":${shufGb / math.max(roundsRun, 1)}%.2f,"executor_cpu_sec":${cpuTimeNs.get / 1e9}%.1f}""")
+    println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"fetches_all":$fetchesAll,"sec_all":$secAll%.2f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat,"layout":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "full")}","staging":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGING", "memory")}","seen":${sys.env.get("SPARK_GRAFT_BENCH_SEEN").contains("1")},"rounds_measured":${steady.length},"warmup_round_sec":${per.head._2}%.2f,"shuffle_gb_total":$shufGb%.2f,"shuffle_gb_per_round":${shufGb / math.max(roundsRun, 1)}%.2f,"write_gb_total":$outGb%.2f,"write_gb_per_round":${outGb / math.max(roundsRun, 1)}%.2f,"executor_cpu_sec":${cpuTimeNs.get / 1e9}%.1f}""")
     spark.stop()
   }
 }

@@ -25,7 +25,10 @@ object SparkEntry {
     * JVM so the two crawl queries share one run. Public: ExpectedOracles
     * runs the reference simulator on the same spec + cfg. */
   val crawlSpec = CorpusGen.Spec(nHosts = 6, pagesPerHost = 18)
-  val crawlCfg = CrawlConfig(hostBudgetPerRound = 2, roundBudget = 16, maxRounds = 30)
+  val crawlCfg = CrawlConfig(hostBudgetPerRound = 2, roundBudget = 16, maxRounds = 30,
+    // A5: three registered fetch resources so the least-used rotation is
+    // observable in the resource_used oracle
+    resources = Seq("tor-0", "tor-1", "tor-2"))
   @volatile private var crawlStateDir: Option[String] = None
   private def crawlState(s: SparkSession): String = synchronized {
     crawlStateDir.getOrElse {
@@ -110,7 +113,11 @@ object SparkEntry {
         .select(col("id"), col("urlNorm"), col("host"), col("status"),
           col("attempt"), col("priority"))
         .orderBy(col("id"))
-    })
+    }),
+    // ---- §2.A5 least-used resource accounting (simulator-verified) ------
+    "resource_used" -> ((s, _) =>
+      CrawlEngine.resourceLog(s, new SnapshotStore(crawlState(s), s))
+        .orderBy(col("round")))
   )
 
   // Shared SQL fragments (kept in sync with graft.functions.TextFunctions)
@@ -361,6 +368,7 @@ object SparkEntry {
     // path — see ExpectedOracles scaladoc) --------------------------------
     "crawl_fetch_schedule" -> ExpectedOracles.sqlFor("crawl_fetch_schedule"),
     "crawl_frontier_final" -> ExpectedOracles.sqlFor("crawl_frontier_final"),
+    "resource_used" -> ExpectedOracles.sqlFor("resource_used"),
     "politeness_schedule" -> ExpectedOracles.sqlFor("politeness_schedule"),
     "dedup_simhash" -> ExpectedOracles.sqlFor("dedup_simhash"),
     "ann_ivf_topk" -> ExpectedOracles.sqlFor("ann_ivf_topk"),

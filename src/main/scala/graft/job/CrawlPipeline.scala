@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.core.{CrawlConfig, ProjectSpec}
 import graft.frontier.SnapshotStore
-import graft.round.{CrawlEngine, PageParser, ParsedSink, PipelineHooks, RawSink}
+import graft.round.{CrawlEngine, CrawlNotifier, PageParser, ParsedSink, PipelineHooks, RawSink}
 
 /** Public pipeline surface of the engine — the Spark-native mirror of the
   * reference's `PipelineBuilder` (`worker/.../pipeline/PipelineBuilder
@@ -40,6 +40,7 @@ object CrawlPipeline {
     private var validator: Option[Column] = None
     private var rawSinks: Seq[RawSink] = Nil
     private var parsedSinks: Seq[ParsedSink] = Nil
+    private var notifiers: Seq[CrawlNotifier] = Nil
 
     /** Mandatory (`PipelineBuilder.scala:57-59`). */
     def withTaskType(t: String): Builder = { taskType = Some(t); this }
@@ -55,6 +56,9 @@ object CrawlPipeline {
     def withValidator(v: Column): Builder = { validator = Some(v); this }
     def addRawSink(s: RawSink): Builder = { rawSinks :+= s; this }
     def addParsedSink(s: ParsedSink): Builder = { parsedSinks :+= s; this }
+    /** Notification hook (`NotificationExecutor` analog): called once when
+      * the crawl stops, with the [[graft.round.StopReason]]. */
+    def addNotifier(n: CrawlNotifier): Builder = { notifiers :+= n; this }
 
     def build(): CrawlPipeline = {
       val t = taskType.getOrElse(
@@ -76,7 +80,8 @@ object CrawlPipeline {
         parser = parser.getOrElse(graft.round.DefaultParser),
         validator = validator,
         rawSinks = rawSinks,
-        parsedSinks = parsedSinks)
+        parsedSinks = parsedSinks,
+        notifiers = notifiers)
       CrawlPipeline(t, c, seeds, cfgWithProject, hooks)
     }
   }

@@ -100,8 +100,13 @@ object BloomShards {
   /** (shard, bytes) rows → Shards. Validates that shard ids are exactly
     * 0..n-1 with non-null bytes: a partially-written or duplicated shard
     * row would otherwise silently change the probe modulus and break the
-    * no-false-negative invariant (round-1 ADVICE). Pass `expectedShards`
-    * (from the snapshot manifest) to also pin n itself. */
+    * no-false-negative invariant (round-1 ADVICE). ALWAYS pass
+    * `expectedShards` when restoring persisted shards whose intended count
+    * you know (e.g. from a manifest): without it, a snapshot truncated to
+    * a smaller-but-contiguous prefix would pass the 0..n-1 check yet probe
+    * with the wrong modulus. The engine path doesn't use this bridge — it
+    * keeps shards as a Dataset and pins the count via the snapshot
+    * manifest (CrawlEngine's seenShards guard). */
   def fromDF(df: DataFrame, expectedShards: Option[Int] = None): Shards = {
     val rows = df.select(col("shard"), col("bytes")).collect()
       .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))

@@ -55,7 +55,12 @@ object ReferenceSimulator {
       fetches: Vector[SimFetch],
       frontier: Vector[SimEntry],
       hostNext: Map[String, Long],
-      rounds: Int)
+      rounds: Int,
+      // A5 per-batch resource acquisitions: (round, resource, usedAfter) —
+      // least-used pick with id-asc tiebreak, the deterministic twin of
+      // `MongoConfigurationProvider.scala:59-99` findOneAndUpdate(sort asc
+      // usedCount, inc usedCount)
+      resourceLog: Vector[(Int, String, Long)] = Vector.empty)
 
   private val IoLang = "^xx-io(\\d+)$".r
 
@@ -132,6 +137,8 @@ object ReferenceSimulator {
     seeds.foreach { case (u, p) => insert(u, p, 0, cfg.projects.head.projectId) }
 
     val fetches = Vector.newBuilder[SimFetch]
+    val resourceLog = Vector.newBuilder[(Int, String, Long)]
+    val resourceUsed = mutable.Map.empty[String, Long].withDefaultValue(0L)
     var round = 0
     var done = false
     while (!done && round < cfg.maxRounds) {
@@ -161,6 +168,12 @@ object ReferenceSimulator {
             es.sortWith(rankLt).take(cfg.hostBudgetPerRound)
           }.toVector
           val selected = perHost.sortWith(rankLt).take(cfg.roundBudget)
+
+          // A5: the batch acquires the least-used resource and bumps its
+          // usedCount (one acquisition per leased batch)
+          val resource = cfg.resources.minBy(r => (resourceUsed(r), r))
+          resourceUsed(resource) += 1
+          resourceLog += ((round, resource, resourceUsed(resource)))
 
           val bannedHosts = mutable.Set.empty[String]
           val newLinks = Vector.newBuilder[(String, String)] // (rawHref resolved later) parent info
@@ -221,6 +234,7 @@ object ReferenceSimulator {
         }
       }
     }
-    SimResult(fetches.result(), frontier.values.toVector, hostNext.toMap, round)
+    SimResult(fetches.result(), frontier.values.toVector, hostNext.toMap, round,
+      resourceLog.result())
   }
 }

@@ -45,6 +45,24 @@ class CrawlPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("parser"))
   }
 
+  test("notifiers fire on stop with the right reason (completed / maxRounds)") {
+    import graft.round.{CrawlNotifier, StopReason}
+    def runWith(c: CrawlConfig): List[String] = {
+      val stops = scala.collection.mutable.Buffer.empty[String]
+      CrawlPipeline.builder()
+        .withTaskType("t").withCorpus(corpus)
+        .withSeeds(CorpusGen.seeds(spec)).withConfig(c)
+        .addNotifier(new CrawlNotifier {
+          override def onStop(reason: String, s: CrawlEngine.CrawlSummary): Unit =
+            stops += reason
+        })
+        .build().run(spark, Files.createTempDirectory("graft-pipe-stop").toString)
+      stops.toList
+    }
+    assert(runWith(cfg.copy(maxRounds = 100)) == List(StopReason.Completed))
+    assert(runWith(cfg.copy(maxRounds = 1)) == List(StopReason.MaxRounds))
+  }
+
   test("built pipeline runs end-to-end with custom parser, validator and sinks") {
     val stateDir = Files.createTempDirectory("graft-pipe").toString
     val rawDir = Files.createTempDirectory("graft-pipe-raw").toString

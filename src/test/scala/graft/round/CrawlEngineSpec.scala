@@ -108,6 +108,28 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
       "staged table should live on disk under the state dir")
   }
 
+  test("A5 least-used resource pick matches the simulator and survives resume") {
+    val stateDir = tmpDir("resources")
+    val corpus = CorpusTable.create(spark, spec)
+    val cfgR = cfg.copy(resources = Seq("tor-b", "tor-a", "tor-c"))
+    // interrupt + resume: usedCounts must restore from the manifest so the
+    // rotation continues where it left off
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), cfgR.copy(maxRounds = 3))
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), cfgR)
+    val simR = ReferenceSimulator.run(CorpusGen.simCorpus(spec), CorpusGen.seeds(spec), cfgR)
+    val engineLog = CrawlEngine.resourceLog(spark, new SnapshotStore(stateDir, spark))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(engineLog == simR.resourceLog)
+    assert(engineLog.nonEmpty)
+    // least-used with id-asc tiebreak from zero: first pick is "tor-a"
+    assert(engineLog.head._2 == "tor-a")
+    // the pool balances: max usage spread ≤ 1 batch
+    val finalUsed = engineLog.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    assert(finalUsed.values.max - finalUsed.values.min <= 1, s"unbalanced: $finalUsed")
+  }
+
   test("D3 failCount circuit breaker: engine matches simulator and stops on dead hosts") {
     // deep-chain spec: zero politeness + big budgets so the next-page link
     // chain reaches host0's xx-gen page (pageIdx 21) within a few rounds
@@ -117,8 +139,17 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
       maxRounds = 60, maxHostFailures = 1)
     val stateDir = tmpDir("d3")
     val corpus = CorpusTable.create(spark, spec3)
+    // notification seam: the D3 stop must surface as NoResourcesAvailable
+    val stops = scala.collection.mutable.Buffer.empty[(String, Long)]
+    val hooks = PipelineHooks(notifiers = Seq(
+      new CrawlNotifier {
+        override def onStop(reason: String, s: CrawlEngine.CrawlSummary): Unit =
+          stops += ((reason, s.fetches))
+      }))
     CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
-      corpus, CorpusGen.seeds(spec3), cfg3)
+      corpus, CorpusGen.seeds(spec3), cfg3, hooks)
+    assert(stops.toList.map(_._1) == List(StopReason.NoResourcesAvailable),
+      s"expected a NoResourcesAvailable notification, got $stops")
     val sim3 = ReferenceSimulator.run(CorpusGen.simCorpus(spec3), CorpusGen.seeds(spec3), cfg3)
     val (engineSeq, _) = engineFetches(stateDir)
     assert(engineSeq == sim3.fetches.map(f => (f.round, f.seq, f.urlNorm, f.outcome)))
