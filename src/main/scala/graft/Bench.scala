@@ -33,7 +33,13 @@ object Bench {
                           // SPARK_GRAFT_BENCH_SEEN=1 + bucketed staging is
                           // the 100 TB configuration (VERDICT r2 item 9)
                           layout: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "full"),
-                          seenFilter: Boolean = sys.env.get("SPARK_GRAFT_BENCH_SEEN").contains("1"))
+                          seenFilter: Boolean = sys.env.get("SPARK_GRAFT_BENCH_SEEN").contains("1"),
+                          // called after bootstrap (corpus staging, v0
+                          // commit, seen build) and before the measured
+                          // round loop — ScalingBench zeroes its byte/CPU
+                          // counters here so per-round metrics exclude
+                          // one-time setup cost
+                          onBootstrapDone: () => Unit = () => ())
       : Vector[(Long, Double)] = {
     import spark.implicits._
     val corpus = CorpusTable.createLarge(spark, nPages, nHosts, textRepeat = textRepeat)
@@ -71,6 +77,7 @@ object Bench {
          else Map("seenFormat" -> "full", "seenBase" -> "0",
            "seenShards" -> cfg.seenShards.toString)))
     val rules: Option[org.apache.spark.sql.DataFrame] = None // bench corpus serves no robots.txt
+    onBootstrapDone()
     val out = Vector.newBuilder[(Long, Double)]
     var fetched = 0L
     var v = 0

@@ -84,7 +84,13 @@ object ScalingBench {
     val stateDir = tmpDir(s"graft-scaling-$cores")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val per = Bench.crawlRoundsDetailed(spark, stateDir, nPages,
-      nHosts = 4096, rounds = rounds, roundBudget = budget, textRepeat = textRepeat)
+      nHosts = 4096, rounds = rounds, roundBudget = budget, textRepeat = textRepeat,
+      onBootstrapDone = () => {
+        // re-zero so per-round shuffle/write/CPU metrics cover ONLY the
+        // measured rounds, not one-time bootstrap (corpus staging for the
+        // bucketed path, v0 commit, seen-shard build)
+        shuffleWrite.set(0); shuffleRead.set(0); cpuTimeNs.set(0); outputBytes.set(0)
+      })
     // round 0 pays corpus-cache first-touch + codegen/JIT warmup — report
     // steady-state rounds (what a long-running crawl amortizes to)
     val steady = if (per.length > 1) per.tail else per

@@ -31,8 +31,23 @@ object CrawlJob {
       if (args.length > 1) spark.read.parquet(args(1))
       else CorpusTable.create(spark, spec)
     val store = new SnapshotStore(stateDir, spark)
+    // production-shape knobs via env (the 100 TB configuration is
+    // GRAFT_LAYOUT=delta GRAFT_STAGING=bucketed GRAFT_SEEN=1):
+    val cfg = CrawlConfig(
+      frontierLayout = sys.env.getOrElse("GRAFT_LAYOUT", "full"),
+      corpusStaging = sys.env.getOrElse("GRAFT_STAGING", "memory"),
+      seenFilter = sys.env.get("GRAFT_SEEN").contains("1"),
+      resources = sys.env.get("GRAFT_RESOURCES")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq("default")),
+      maxHostFailures = sys.env.getOrElse("GRAFT_MAX_HOST_FAILURES", "0").toInt)
+    // stop-reason surfaced on stderr through the notification seam
+    val hooks = graft.round.PipelineHooks(notifiers = Seq(
+      new graft.round.CrawlNotifier {
+        override def onStop(reason: String, s: CrawlEngine.CrawlSummary): Unit =
+          System.err.println(s"[crawl] stopped: $reason after ${s.fetches} fetches")
+      }))
     val t0 = System.nanoTime()
-    val summary = CrawlEngine.crawl(spark, store, corpus, CorpusGen.seeds(spec), CrawlConfig())
+    val summary = CrawlEngine.crawl(spark, store, corpus, CorpusGen.seeds(spec), cfg, hooks)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"rounds":${summary.rounds},"versions":${summary.versions},"fetches":${summary.fetches},"frontier":${summary.frontierSize},"sec":$sec%.2f,"urlsPerSec":${summary.fetches / math.max(sec, 1e-9)}%.1f}""")
     spark.stop()
