@@ -41,6 +41,14 @@ object ScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", tmpBase)
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_EVLOG=<dir> → write the Spark event log there so
+    // tools/evlog_analyze.py can attribute core-seconds per stage (the
+    // scaling investigation's ground truth — which stage stops scaling)
+    sys.env.get("SPARK_GRAFT_EVLOG").foreach { d =>
+      Files.createDirectories(java.nio.file.Paths.get(d))
+      builder0.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+    }
     val builder =
       if (!clusterMode) builder0.master(s"local[$cores]")
       else {

@@ -4,8 +4,10 @@ Finds how much of the run has 0 tasks running (driver-serial time), and
 per-job durations with concurrency.
 
 Usage: python3 tools/evlog_analyze.py /tmp/evlog/<app-id>
+Accepts a single-file v1 log, or a Spark 4 `eventlog_v2_*` directory
+(concatenates its `events_*` parts; .zstd parts are decompressed).
 """
-import json, sys
+import io, json, os, sys
 from collections import defaultdict
 
 path = sys.argv[1]
@@ -15,7 +17,29 @@ stage_names = {}
 stage_tasks = defaultdict(lambda: [0, 0.0])  # stage -> [count, total task sec]
 app_start = app_end = None
 
-with open(path) as f:
+
+def open_part(p):
+    if p.endswith(".zstd"):
+        import subprocess
+        out = subprocess.run(["zstd", "-dc", p], capture_output=True, check=True).stdout
+        return io.StringIO(out.decode("utf-8", errors="replace"))
+    return open(p)
+
+
+def iter_lines(path):
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.startswith("events_"))
+        for p in parts:
+            with open_part(p) as f:
+                yield from f
+    else:
+        with open_part(path) as f:
+            yield from f
+
+if True:
+    f = iter_lines(path)
     for line in f:
         try:
             ev = json.loads(line)
