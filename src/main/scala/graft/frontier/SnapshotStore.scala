@@ -64,13 +64,30 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
     // write-audit-publish: data first (overwrite any orphan), manifest last.
     // `metaLazy` is by-name: evaluated only after the data writes, so it can
     // read Observation metrics collected during the frontier write.
-    frontier.write.mode("overwrite").parquet(dir(v, "frontier"))
-    hosts.write.mode("overwrite").parquet(dir(v, "hosts"))
+    //
+    // The three tables are independent DataFrames (they share only already-
+    // materialized caches), so their writes are submitted CONCURRENTLY and
+    // awaited before the manifest seals. Sequential writes serialized three
+    // driver-side plan+schedule+commit segments per round — a constant
+    // Amdahl term that grows as a fraction of the round when executors
+    // multiply (event-log attribution: ~15 s of zero-tasks-running driver
+    // time per bench run at every core count). Overlap lets one job's
+    // planning/commit protocol hide under another's tasks; a failed write
+    // still propagates before the manifest, so exactly-once is unchanged.
     // results live in ONE partitioned dir (results/v=K/) so the full crawl
     // history reads as a single scan — a per-version union's plan grows
     // O(versions) (round-2 VERDICT perf minor). Orphan dirs from a crash
     // can only be > latest committed version: allResults filters them out.
-    results.foreach(_.write.mode("overwrite").parquet(resultsDir(v)))
+    {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = SnapshotStore.commitEc
+      val writes =
+        Future(frontier.write.mode("overwrite").parquet(dir(v, "frontier"))) ::
+          Future(hosts.write.mode("overwrite").parquet(dir(v, "hosts"))) ::
+          results.map(r => Future(r.write.mode("overwrite").parquet(resultsDir(v)))).toList
+      Await.result(Future.sequence(writes), Duration.Inf)
+    }
     val json = (metaLazy ++ Map("version" -> v.toString, "hasResults" -> results.isDefined.toString))
       .map { case (k, w) => s""""$k":"$w"""" }.mkString("{", ",", "}")
     val tmp = Paths.get(s"$baseDir/.manifest-$v.tmp")
@@ -170,4 +187,17 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
       case (a, b) => a.orElse(b)
     }
   }
+}
+
+object SnapshotStore {
+  /** Shared daemon pool for concurrent commit writes: 3 threads covers the
+    * frontier/hosts/results triple; Spark's scheduler interleaves the
+    * resulting jobs across free executor slots. */
+  private[frontier] lazy val commitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+        val t = new Thread(r, "graft-snapshot-commit")
+        t.setDaemon(true)
+        t
+      }))
 }

@@ -177,5 +177,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_url_host", classOf[UrlHostOfExpr], cs => UrlHostOfExpr(cs.head))
     inject("graft_url_path", classOf[UrlPathOfExpr], cs => UrlPathOfExpr(cs.head))
     inject("graft_url_resolve", classOf[UrlResolveExpr], cs => UrlResolveExpr(cs(0), cs(1)))
+    inject("graft_html_parse", classOf[HtmlParseExpr], cs => HtmlParseExpr(cs(0), cs(1)))
   }
 }

@@ -98,7 +98,8 @@ object CrawlEngine {
     corpusN
       .filter(urlPath(col("urlNorm")) === "/robots.txt")
       .select(urlHost(col("urlNorm")).as("host"), col("warcTs"),
-        parseUdf(col("htmlStr"), lit("")).getField("text").as("body"))
+        graft.functions.expressions.ParseFunctions.htmlParse(col("htmlStr"), lit(""))
+          .getField("text").as("body"))
       .groupBy(col("host"))
       .agg(max(struct(col("warcTs"), col("body"))).as("latest"))
       .select(col("host"), robotsParseUdf(col("latest.body")).as("r"))
@@ -370,15 +371,20 @@ object CrawlEngine {
     // chains parse after a successful fetch), and skipping them here both
     // matches the simulator's null extractedText and avoids paying the
     // parse UDF for doomed rows (the `when` guard short-circuits per row).
-    val roundParseUdf =
-      if (hooks.parser eq DefaultParser) parseUdf else parseUdfOf(hooks.parser)
+    // DefaultParser runs as the bytes-native HtmlParseExpr (no UTF-16
+    // round trip — the fetch stage is DRAM-bound, see HtmlParseExpr doc);
+    // a custom PageParser keeps the UDF seam.
+    val roundParse: (Column, Column) => Column =
+      if (hooks.parser eq DefaultParser)
+        graft.functions.expressions.ParseFunctions.htmlParse
+      else { val u = parseUdfOf(hooks.parser); (h, s) => u(h, s) }
     val fetched = selected.hint("shuffle_hash")
       .join(corpusN.select("urlNorm", "htmlStr", "lang"), Seq("urlNorm"), "left")
       .withColumn("ioUntil", ioFailUntilUdf(col("lang")))
       .withColumn("parsed",
         when(!col("skipped") && col("htmlStr").isNotNull && col("lang") =!= "xx-ban" &&
           col("lang") =!= "xx-gen" && !(col("ioUntil") > round),
-          roundParseUdf(col("htmlStr"), col("host"))))
+          roundParse(col("htmlStr"), col("host"))))
       .withColumn("outcome",
         when(col("skipped"), Outcome.Skipped)
           .when(col("htmlStr").isNull, Outcome.NotFound)
