@@ -41,6 +41,14 @@ object ScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", tmpBase)
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_AQE=0 → disable adaptive execution for this run.
+    // AQE re-plans at every shuffle-stage boundary on the driver; with
+    // ~12 shuffles per round that latency is a fixed per-round serial
+    // term. This knob exists to MEASURE that term (production keeps AQE
+    // on: skew-join splitting and partition coalescing matter at 100 TB,
+    // and at production round sizes the boundary latency amortizes away).
+    if (sys.env.get("SPARK_GRAFT_AQE").contains("0"))
+      builder0.config("spark.sql.adaptive.enabled", "false")
     // SPARK_GRAFT_EVLOG=<dir> → write the Spark event log there so
     // tools/evlog_analyze.py can attribute core-seconds per stage (the
     // scaling investigation's ground truth — which stage stops scaling)

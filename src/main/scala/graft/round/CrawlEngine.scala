@@ -378,7 +378,7 @@ object CrawlEngine {
       if (hooks.parser eq DefaultParser)
         graft.functions.expressions.ParseFunctions.htmlParse
       else { val u = parseUdfOf(hooks.parser); (h, s) => u(h, s) }
-    val fetched = selected.hint("shuffle_hash")
+    val fetchedWide = selected.hint("shuffle_hash")
       .join(corpusN.select("urlNorm", "htmlStr", "lang"), Seq("urlNorm"), "left")
       .withColumn("ioUntil", ioFailUntilUdf(col("lang")))
       .withColumn("parsed",
@@ -393,7 +393,16 @@ object CrawlEngine {
           .when(col("lang") === "xx-gen", Outcome.GenericFailed)
           .when(col("parsed.text").isNull, Outcome.ParsingFailed)
           .otherwise(Outcome.Success))
-      .persist()
+    // persist ONLY what the round's consumers (records, link discovery,
+    // status/host updates, raw sinks) read back. htmlStr is the widest
+    // column in the row and is needed again only by a raw sink — caching
+    // it unconditionally wrote round-budget × page-size bytes into the
+    // block store every round for nothing (measured: the fetch stage is
+    // bandwidth-bound; the cache write is pure overhead in the common
+    // no-raw-sink configuration).
+    val fetchedCols = Seq("id", "seq", "urlNorm", "host", "projectId",
+      "outcome", "parsed") ++ (if (hooks.rawSinks.nonEmpty) Seq("htmlStr") else Nil)
+    val fetched = fetchedWide.select(fetchedCols.map(col): _*).persist()
 
     val selectedCount = timed("fetch-join+classify")(fetched.count())
     if (selectedCount == 0) {

@@ -86,6 +86,37 @@ for ts, d in events:
 print(f"wall={wall:.1f}s  task-busy={busy:.1f}s  DRIVER-IDLE-GAPS={wall-busy:.1f}s ({100*(wall-busy)/wall:.0f}%)")
 print(f"total task core-seconds={occupied_core_s:.0f}  avg concurrency while busy={occupied_core_s/busy:.1f}")
 
+# split the zero-task time: inside a running job (stage-boundary planning,
+# AQE re-optimization, scheduler latency) vs outside all jobs (driver code
+# between actions)
+jiv = sorted((v[0], v[1]) for v in job_iv.values() if v[1])
+def merge(ivs):
+    out = []
+    for s, e in ivs:
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+merged_jobs = merge(jiv)
+merged_tasks = merge(sorted(task_iv))
+def overlap(a, b):
+    i = j = 0
+    tot = 0.0
+    while i < len(a) and j < len(b):
+        s = max(a[i][0], b[j][0]); e = min(a[i][1], b[j][1])
+        if e > s:
+            tot += e - s
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return tot
+job_time = sum(e - s for s, e in merged_jobs) / 1000
+busy_in_jobs = overlap(merged_jobs, merged_tasks) / 1000
+print(f"zero-task time INSIDE jobs (stage boundaries/AQE)={job_time-busy_in_jobs:.1f}s; "
+      f"OUTSIDE jobs (driver between actions)={wall-busy-(job_time-busy_in_jobs):.1f}s; jobs={len(job_iv)}")
+
 # top stages by total task time
 print("\ntop stages by task core-seconds:")
 for sid, (n, tot) in sorted(stage_tasks.items(), key=lambda kv: -kv[1][1])[:12]:
