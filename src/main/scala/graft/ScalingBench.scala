@@ -107,6 +107,11 @@ object ScalingBench {
         // bucketed path, v0 commit, seen-shard build)
         shuffleWrite.set(0); shuffleRead.set(0); cpuTimeNs.set(0); outputBytes.set(0)
       })
+    // ambient-contention probe: fixed 4-thread streaming read on this
+    // socket, taken right after the measured rounds (executors idle).
+    // Identical probe shape at every level/draw ⇒ directly comparable
+    // hardware-state reading per measurement (see MemBandwidth.probe doc).
+    val ambientGbps = graft.tools.MemBandwidth.probe(4, 16 * 1024 * 1024, 4)
     // round 0 pays corpus-cache first-touch + codegen/JIT warmup — report
     // steady-state rounds (what a long-running crawl amortizes to)
     val steady = if (per.length > 1) per.tail else per
@@ -119,7 +124,7 @@ object ScalingBench {
     val shufGb = (shuffleWrite.get + shuffleRead.get) / 1e9
     val outGb = outputBytes.get / 1e9
     val roundsRun = per.length
-    println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"fetches_all":$fetchesAll,"sec_all":$secAll%.2f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat,"layout":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "full")}","staging":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGING", "memory")}","seen":${sys.env.get("SPARK_GRAFT_BENCH_SEEN").contains("1")},"rounds_measured":${steady.length},"warmup_round_sec":${per.head._2}%.2f,"shuffle_gb_total":$shufGb%.2f,"shuffle_gb_per_round":${shufGb / math.max(roundsRun, 1)}%.2f,"write_gb_total":$outGb%.2f,"write_gb_per_round":${outGb / math.max(roundsRun, 1)}%.2f,"executor_cpu_sec":${cpuTimeNs.get / 1e9}%.1f}""")
+    println(f"""{"metric":"scaling_level","cores":$cores,"fetches":$fetches,"sec":$sec%.2f,"urls_per_sec":${fetches / sec}%.1f,"fetches_all":$fetchesAll,"sec_all":$secAll%.2f,"pages":$nPages,"budget":$budget,"text_repeat":$textRepeat,"layout":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_LAYOUT", "full")}","staging":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGING", "memory")}","seen":${sys.env.get("SPARK_GRAFT_BENCH_SEEN").contains("1")},"rounds_measured":${steady.length},"warmup_round_sec":${per.head._2}%.2f,"shuffle_gb_total":$shufGb%.2f,"shuffle_gb_per_round":${shufGb / math.max(roundsRun, 1)}%.2f,"write_gb_total":$outGb%.2f,"write_gb_per_round":${outGb / math.max(roundsRun, 1)}%.2f,"executor_cpu_sec":${cpuTimeNs.get / 1e9}%.1f,"ambient_gbps":$ambientGbps%.1f}""")
     spark.stop()
   }
 }

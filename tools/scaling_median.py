@@ -32,20 +32,24 @@ for i in sorted(draws):
     cpu_hi = hi["fetches_all"] / hi["executor_cpu_sec"]
     cpu = cpu_hi / cpu_lo
     rows.append((i, lo["urls_per_sec"], hi["urls_per_sec"], wall, cpu_lo, cpu_hi, cpu,
-                 lo.get("shuffle_gb_per_round", 0), hi.get("shuffle_gb_per_round", 0)))
+                 lo.get("shuffle_gb_per_round", 0), hi.get("shuffle_gb_per_round", 0),
+                 lo.get("ambient_gbps"), hi.get("ambient_gbps")))
 
 if not rows:
     sys.exit(f"no complete draws in {d}")
 
 wall_med = statistics.median(r[3] for r in rows)
 cpu_med = statistics.median(r[6] for r in rows)
+has_amb = any(r[9] is not None for r in rows)
+amb_hdr = f" ambient GB/s ({low_c}→{high_c}) |" if has_amb else ""
 print(f"| draw | local[{low_c}] urls/s | local[{high_c}] urls/s | wall eff | "
-      f"urls per CPU-s ({low_c}→{high_c}) | CPU eff | shuffle GB/round ({low_c}→{high_c}) |")
-print("|---|---|---|---|---|---|---|")
+      f"urls per CPU-s ({low_c}→{high_c}) | CPU eff | shuffle GB/round ({low_c}→{high_c}) |" + amb_hdr)
+print("|---|---|---|---|---|---|---|" + ("---|" if has_amb else ""))
 for r in rows:
+    amb = f" {r[9]:.0f} → {r[10]:.0f} |" if has_amb and r[9] is not None else (" |" if has_amb else "")
     print(f"| {r[0]} | {r[1]:,.0f} | {r[2]:,.0f} | {r[3]:.2f} | "
-          f"{r[4]:,.0f} → {r[5]:,.0f} | {r[6]:.2f} | {r[7]:.2f} → {r[8]:.2f} |")
-print(f"| **median** | | | **{wall_med:.2f}** | | **{cpu_med:.2f}** | |")
+          f"{r[4]:,.0f} → {r[5]:,.0f} | {r[6]:.2f} | {r[7]:.2f} → {r[8]:.2f} |" + amb)
+print(f"| **median** | | | **{wall_med:.2f}** | | **{cpu_med:.2f}** | |" + (" |" if has_amb else ""))
 print(json.dumps({"metric": "scaling_efficiency_multi", "draws": len(rows),
                   "low_cores": low_c, "high_cores": high_c,
                   "wall_eff_median": round(wall_med, 3),
