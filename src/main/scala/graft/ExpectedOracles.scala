@@ -56,6 +56,31 @@ object ExpectedOracles {
   /** A5 least-used resource acquisitions, straight from the simulator. */
   def resourceUsed: Seq[(Int, String, Long)] = sim.resourceLog
 
+  /** Simulator run for the pool-breaker + write-back scenario (same spec +
+    * cfg as SparkEntry.breakerState). */
+  private lazy val simBreaker =
+    ReferenceSimulator.run(
+      CorpusGen.simCorpus(SparkEntry.breakerSpec),
+      CorpusGen.seeds(SparkEntry.breakerSpec),
+      SparkEntry.breakerCfg)
+
+  /** Resource log under the pool breaker: proxy-a parks at the failure cap,
+    * proxy-b serves the remaining rounds, the crawl stops when both close. */
+  def resourceBreaker: Seq[(Int, String, Long)] = simBreaker.resourceLog
+
+  /** A12 write-back expectation: the final frontier with each row's
+    * `source` = extractedText of its successful fetch (None until/unless
+    * one happened) — the simulator twin of `update projects_url set
+    * source=… where id=…`. */
+  def frontierWriteback: Seq[(Long, String, String, Option[String])] = {
+    val sourceById = simBreaker.fetches
+      .filter(f => f.outcome == graft.core.Outcome.Success)
+      .map(f => f.id -> f.extractedText).toMap
+    simBreaker.frontier
+      .map(e => (e.id, e.urlNorm, e.status, sourceById.get(e.id).flatten))
+      .sortBy(_._1)
+  }
+
   // ---------------------------------------------------- politeness (F2)
   /** Det.politenessDelay evaluated in plain Scala over the same
     * (user, round) grid as CrawlOps.politenessSchedule — this cross-checks
@@ -145,6 +170,10 @@ object ExpectedOracles {
       crawlFrontierFinal.toDF("id", "urlNorm", "host", "status", "attempt", "priority"))
     write("resource_used",
       resourceUsed.toDF("round", "resource", "used_after"))
+    write("resource_breaker",
+      resourceBreaker.toDF("round", "resource", "used_after"))
+    write("frontier_writeback",
+      frontierWriteback.toDF("id", "urlNorm", "status", "source"))
 
     val userIds = spark.read.parquet(s"$sfDir/events.parquet")
       .select("user_id").distinct().collect().map(_.getLong(0)).toSeq

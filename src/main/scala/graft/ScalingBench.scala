@@ -31,7 +31,13 @@ object ScalingBench {
     // all executors through one garbage collector, which a real cluster
     // never does (measured: 3x core-seconds inflation at local[32]).
     val clusterMode = sys.env.get("SPARK_GRAFT_CLUSTER").contains("1")
-    val coresPerWorker = math.min(4, cores)
+    // SPARK_GRAFT_CORES_PER_WORKER → hold the executor SHAPE constant
+    // across levels (e.g. 2-core workers at both N=2 and 4N=8): the honest
+    // equal-per-executor-memory pairing for the scaling criterion — without
+    // it the low level runs one odd-shaped squeezed executor (the 1.25
+    // "superlinear" artifact in BENCH.md).
+    val coresPerWorker = sys.env.get("SPARK_GRAFT_CORES_PER_WORKER")
+      .map(_.toInt).getOrElse(math.min(4, cores))
     // partitions = 4 waves per stage: with exactly one task per core, any
     // straggler (skewed partition, GC pause) extends the whole stage;
     // finer tasks let free cores absorb the tail
@@ -92,11 +98,19 @@ object ScalingBench {
     })
     def tmpDir(prefix: String): String =
       Files.createTempDirectory(java.nio.file.Paths.get(tmpBase), prefix).toString
+    // every counter reset (and the final read) must first DRAIN the async
+    // listener bus: stage-completed events from already-finished stages can
+    // still be queued when the atomics are zeroed, bleeding excluded work
+    // into the measured window (round-3 ADVICE)
+    def resetCounters(): Unit = {
+      org.apache.spark.GraftSparkAccess.drainListenerBus(spark.sparkContext)
+      shuffleWrite.set(0); shuffleRead.set(0); cpuTimeNs.set(0); outputBytes.set(0)
+    }
     // warmup at small size to JIT/codegen before measuring
     Bench.crawlRounds(spark, tmpDir("graft-warm"),
       50000, 256, rounds = 1, roundBudget = 50000, textRepeat = textRepeat)
     // zero the counters so only the measured run is accounted
-    shuffleWrite.set(0); shuffleRead.set(0); cpuTimeNs.set(0); outputBytes.set(0)
+    resetCounters()
     val stateDir = tmpDir(s"graft-scaling-$cores")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val per = Bench.crawlRoundsDetailed(spark, stateDir, nPages,
@@ -105,8 +119,11 @@ object ScalingBench {
         // re-zero so per-round shuffle/write/CPU metrics cover ONLY the
         // measured rounds, not one-time bootstrap (corpus staging for the
         // bucketed path, v0 commit, seen-shard build)
-        shuffleWrite.set(0); shuffleRead.set(0); cpuTimeNs.set(0); outputBytes.set(0)
+        resetCounters()
       })
+    // symmetric drain before the final read: the last round's stage events
+    // must all be counted before the totals are printed
+    org.apache.spark.GraftSparkAccess.drainListenerBus(spark.sparkContext)
     // ambient-contention probe: fixed 4-thread streaming read on this
     // socket, taken right after the measured rounds (executors idle).
     // Identical probe shape at every level/draw ⇒ directly comparable

@@ -41,6 +41,30 @@ object SparkEntry {
     }
   }
 
+  /** Pool-breaker + write-back scenario: a denser corpus whose xx-io / xx-gen
+    * pages are actually reached, two registered resources with
+    * maxResourceFailures=3 (proxy-a closes mid-crawl, proxy-b keeps
+    * crawling alone, then the pool exhausts → NoResourcesAvailable stop),
+    * and the A12 FrontierWriteBackSink merging extractedText into the
+    * frontier's `source` column inside each commit. Oracled against the
+    * reference simulator run with the identical spec + cfg. */
+  val breakerSpec = CorpusGen.Spec(nHosts = 3, pagesPerHost = 40)
+  val breakerCfg = CrawlConfig(hostBudgetPerRound = 6, roundBudget = 14, maxRounds = 60,
+    politenessCenterTicks = 0, politenessRadiusTicks = 0,
+    resources = Seq("proxy-a", "proxy-b"), maxResourceFailures = 3)
+  @volatile private var breakerStateDir: Option[String] = None
+  private def breakerState(s: SparkSession): String = synchronized {
+    breakerStateDir.getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft-entry-breaker").toString
+      val store = new SnapshotStore(dir, s)
+      CrawlEngine.crawl(s, store, CorpusTable.create(s, breakerSpec),
+        CorpusGen.seeds(breakerSpec), breakerCfg,
+        graft.round.PipelineHooks(parsedSinks = Seq(graft.round.FrontierWriteBackSink)))
+      breakerStateDir = Some(dir)
+      dir
+    }
+  }
+
   /** Flagship: the crawl engine's full fetch schedule (rows>0 smoke). */
   def entry(spark: SparkSession): DataFrame = {
     val store = new SnapshotStore(crawlState(spark), spark)
@@ -117,7 +141,20 @@ object SparkEntry {
     // ---- §2.A5 least-used resource accounting (simulator-verified) ------
     "resource_used" -> ((s, _) =>
       CrawlEngine.resourceLog(s, new SnapshotStore(crawlState(s), s))
-        .orderBy(col("round")))
+        .orderBy(col("round"))),
+    // ---- pool-level failure breaker (simulator-verified): proxy-a closes
+    // at maxResourceFailures, proxy-b serves the remaining rounds alone ---
+    "resource_breaker" -> ((s, _) =>
+      CrawlEngine.resourceLog(s, new SnapshotStore(breakerState(s), s))
+        .orderBy(col("round"))),
+    // ---- §2.A12 write-back parsed sink: extractedText merged onto the
+    // frontier row (`source`) in the same commit (simulator-verified) -----
+    "frontier_writeback" -> ((s, _) => {
+      val store = new SnapshotStore(breakerState(s), s)
+      store.readFrontier(store.latestVersion.get)
+        .select(col("id"), col("urlNorm"), col("status"), col("source"))
+        .orderBy(col("id"))
+    })
   )
 
   // Shared SQL fragments (kept in sync with graft.functions.TextFunctions)
@@ -369,6 +406,8 @@ object SparkEntry {
     "crawl_fetch_schedule" -> ExpectedOracles.sqlFor("crawl_fetch_schedule"),
     "crawl_frontier_final" -> ExpectedOracles.sqlFor("crawl_frontier_final"),
     "resource_used" -> ExpectedOracles.sqlFor("resource_used"),
+    "resource_breaker" -> ExpectedOracles.sqlFor("resource_breaker"),
+    "frontier_writeback" -> ExpectedOracles.sqlFor("frontier_writeback"),
     "politeness_schedule" -> ExpectedOracles.sqlFor("politeness_schedule"),
     "dedup_simhash" -> ExpectedOracles.sqlFor("dedup_simhash"),
     "ann_ivf_topk" -> ExpectedOracles.sqlFor("ann_ivf_topk"),

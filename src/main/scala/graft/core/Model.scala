@@ -121,6 +121,15 @@ case class CrawlConfig(
     // resumed crawl balances exactly where it left off. Resource-pool
     // failure closing lives at host level here (maxHostFailures / D3).
     resources: Seq[String] = Seq("default"),
+    // Pool-level failure circuit breaker (`TorResourceController.scala:
+    // 59-60,86-96`): fetch failures (ioFailed + genericFailed) accumulate
+    // against the RESOURCE that served the batch; a resource whose count
+    // reaches this cap is closed (never picked again), the least-used pick
+    // runs over the remaining OPEN resources, and when every resource is
+    // closed the crawl stops with NoResourcesAvailable — the reference's
+    // pool semantics (one bad proxy is parked, the rest keep crawling).
+    // 0 disables. Orthogonal to maxHostFailures (D3, per-host).
+    maxResourceFailures: Int = 0,
     // corpus staging: "memory" persists the normalized corpus (right for a
     // single box where it fits); "bucketed" writes it once as an on-disk
     // parquet table bucketed on urlNorm — the 100 TB form: no cache, html
@@ -146,6 +155,13 @@ case class CrawlConfig(
     frontierLayout: String = "full",
     frontierCompactEvery: Int = 8,
     maxRounds: Int = 64,
+    // F6 batch-execution timeout, wall-clock form (`WorkerManager.scala:
+    // 85-96` force-stops controllers older than batchExecutionTimeout):
+    // the driver loop stops BETWEEN rounds once the crawl has run this many
+    // seconds — resume-safe by construction, every committed snapshot is a
+    // clean restart point. 0 disables. `maxRounds` stays as the
+    // deterministic count cap (tests and simulator parity use it).
+    maxWallSecs: Long = 0L,
     seed: Long = 42L,
     // R7 partitioned bloom URL-seen set: pre-filters the discovered-link
     // anti-join (exact confirm still runs on "maybe" rows — no-false-
@@ -155,4 +171,15 @@ case class CrawlConfig(
     seenShards: Int = 16,
     seenExpectedPerShard: Long = 1L << 16,
     seenFpp: Double = 0.01
-)
+) {
+  // A5 pool sanity at CONSTRUCTION time (round-3 ADVICE): an empty pool
+  // would throw from minBy mid-crawl; duplicate or empty/control-char ids
+  // would corrupt the per-resource manifest accounting. Quotes/backslashes
+  // are fine — the manifest JSON-escapes them.
+  require(resources.nonEmpty,
+    "CrawlConfig.resources must be non-empty (the A5 pool serves every leased batch)")
+  require(resources.forall(r => r.nonEmpty && !r.exists(_ < ' ')),
+    s"CrawlConfig.resources ids must be non-empty and free of control characters: $resources")
+  require(resources.distinct == resources,
+    s"CrawlConfig.resources ids must be distinct: $resources")
+}

@@ -89,7 +89,8 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
       Await.result(Future.sequence(writes), Duration.Inf)
     }
     val json = (metaLazy ++ Map("version" -> v.toString, "hasResults" -> results.isDefined.toString))
-      .map { case (k, w) => s""""$k":"$w"""" }.mkString("{", ",", "}")
+      .map { case (k, w) => s""""${SnapshotStore.jsonEscape(k)}":"${SnapshotStore.jsonEscape(w)}"""" }
+      .mkString("{", ",", "}")
     val tmp = Paths.get(s"$baseDir/.manifest-$v.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
@@ -97,8 +98,13 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
 
   def readMeta(v: Int): Map[String, String] = {
     val s = Files.readString(manifestPath(v))
-    // flat string-to-string json written by commit()
-    """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+    // flat string-to-string json written by commit(). Keys/values are
+    // JSON-escaped on write (a resource id is USER input — a quote or
+    // newline in it must not corrupt the commit marker of record), so the
+    // pair pattern admits escape sequences and unescapes both sides.
+    SnapshotStore.pairRe.findAllMatchIn(s)
+      .map(m => SnapshotStore.jsonUnescape(m.group(1)) -> SnapshotStore.jsonUnescape(m.group(2)))
+      .toMap
   }
 
   /** Merge-on-read reconstruction of a delta-layout table at version `v`:
@@ -175,10 +181,17 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
     import org.apache.spark.sql.functions._
     val vs = (0 to latest).filter(v => Files.exists(manifestPath(v)) && hasResults(v))
     val (newVs, oldVs) = vs.partition(v => Files.exists(Paths.get(resultsDir(v))))
+    // list ONLY the committed partition dirs (basePath keeps `v` a
+    // partition column and the plan a single pruned scan): reading the
+    // root would let parquet schema inference sample a part file from a
+    // crash-orphaned results/v=latest+1 dir BEFORE the v<=latest filter
+    // prunes its rows — a truncated file there broke allResults until
+    // manually cleaned (round-3 ADVICE)
     val newDf =
       if (newVs.isEmpty) None
-      else Some(spark.read.option("basePath", resultsRoot).parquet(resultsRoot)
-        .filter(col("v") <= latest).drop("v"))
+      else Some(spark.read.option("basePath", resultsRoot)
+        .parquet(newVs.map(resultsDir): _*)
+        .drop("v"))
     val oldDf =
       if (oldVs.isEmpty) None
       else Some(oldVs.map(v => spark.read.parquet(dir(v, "results"))).reduce(_ unionByName _))
@@ -190,6 +203,46 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
 }
 
 object SnapshotStore {
+  /** One `"key":"value"` pair with escape-aware string bodies. */
+  private[frontier] val pairRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+
+  /** Minimal JSON string escaping for the flat manifest (quote, backslash,
+    * control chars). */
+  private[graft] def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private[graft] def jsonUnescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Shared daemon pool for concurrent commit writes: 3 threads covers the
     * frontier/hosts/results triple; Spark's scheduler interleaves the
     * resulting jobs across free executor slots. */

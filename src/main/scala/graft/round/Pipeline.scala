@@ -62,6 +62,21 @@ final case class NoopRawSink() extends RawSink {
   override def write(raw: DataFrame, version: Int): Unit = ()
 }
 
+/** A12 write-back parsed sink (`SqlSaveParsedProvider.scala:19-25`:
+  * `update projects_url set source=… where id=…` — parsed output merged
+  * back ONTO the frontier row, in the same DB transaction). Spark-native
+  * form: the round's successful extractedText is merged into a `source`
+  * column of the matching frontier rows INSIDE the same snapshot commit —
+  * rows never fetched (or fetched unsuccessfully) keep their previous
+  * source (null until first success). Because the merge must ride the
+  * frontier rewrite to stay transactional, the engine recognizes this sink
+  * and folds the column in; `write` is a no-op marker. Works under both
+  * layouts: a delta commit's touched rows carry the new source and
+  * merge-on-read keeps the latest row per id. */
+case object FrontierWriteBackSink extends ParsedSink {
+  override def write(records: DataFrame, version: Int): Unit = ()
+}
+
 /** Stop reasons the driver loop reports through [[CrawlNotifier]] — the
   * engine's taxonomy of the reference's crawl-stop conditions. */
 object StopReason {
@@ -71,8 +86,12 @@ object StopReason {
     * the `NoResourcesAvailable` stop (`TorResourceController.scala:59-60,
     * 86-96`). */
   val NoResourcesAvailable = "noResourcesAvailable"
-  /** cfg.maxRounds hit with work remaining (F6 batch-timeout analog). */
+  /** cfg.maxRounds hit with work remaining (F6 batch-timeout, count form). */
   val MaxRounds = "maxRounds"
+  /** cfg.maxWallSecs elapsed with work remaining (F6 batch-execution
+    * timeout, wall-clock form — `WorkerManager.scala:85-96`). The stop
+    * lands between rounds, so the state dir resumes exactly. */
+  val WallClockTimeout = "wallClockTimeout"
 }
 
 /** Notification seam mirroring the reference's pipeline-configured

@@ -198,16 +198,44 @@ object BloomShards {
       .where(col("k").isNotNull)
       .withColumn("shard", pmod(xxhash64(col("k")), lit(nShards.toLong)).cast("int"))
 
-  /** All-empty shard table, built distributed (one row per shard id). */
+  /** All-empty shard table, built distributed (one row per shard id).
+    * Besides the filter bytes each row carries `inserts` — the cumulative
+    * number of keys ever inserted into the shard (duplicates included:
+    * it's a cheap upper bound on distinct insertions). A bloom filter
+    * sized for `expectedPerShard` keys degrades its FPP silently past that
+    * capacity (still CORRECT — bloom is a pre-filter, the exact anti-join
+    * confirms — but the anti-join traffic grows), so the counter is the
+    * saturation signal [[saturationDf]] and the engine's manifest warning
+    * read. */
   def emptyDf(spark: SparkSession, nShards: Int,
               expectedPerShard: Long = 1L << 16, fpp: Double = 0.01): DataFrame = {
     import spark.implicits._
     spark.range(nShards).as[Long].map { s =>
       val bos = new ByteArrayOutputStream()
       BloomFilter.create(math.max(expectedPerShard, 1L), fpp).writeTo(bos)
-      (s.toInt, bos.toByteArray)
-    }.toDF("shard", "bytes")
+      (s.toInt, bos.toByteArray, 0L)
+    }.toDF("shard", "bytes", "inserts")
   }
+
+  /** Shard rows with the optional `inserts` counter normalized in: legacy
+    * snapshots (pre-round-4) lack the column — their counts restart at 0,
+    * making `inserts` a lower bound there (documented; the signal is a
+    * heuristic, membership stays exact either way). */
+  private def withInserts(shards: DataFrame): DataFrame =
+    if (shards.columns.contains("inserts"))
+      shards.select(col("shard").cast("int"), col("bytes"),
+        coalesce(col("inserts").cast("long"), lit(0L)).as("inserts"))
+    else shards.select(col("shard").cast("int"), col("bytes"), lit(0L).as("inserts"))
+
+  /** Saturation report: (shard, inserts, capacity, fillRatio) per shard.
+    * fillRatio ≥ 1.0 means the shard has absorbed more keys than its
+    * filter was sized for — FPP is now worse than configured and the
+    * remedy is a rebuild ([[buildDf]]) with a larger `expectedPerShard`. */
+  def saturationDf(shards: DataFrame, expectedPerShard: Long): DataFrame =
+    withInserts(shards).select(col("shard"), col("inserts"),
+      lit(expectedPerShard).as("capacity"),
+      (col("inserts").cast("double") / lit(math.max(expectedPerShard, 1L).toDouble))
+        .as("fillRatio"))
 
   /** Insert `newKeys` into a shard Dataset: keys shuffle to their shard,
     * each touched shard deserializes once, inserts its keys, re-serializes;
@@ -219,22 +247,23 @@ object BloomShards {
     import spark.implicits._
     val keysKV = withShard(newKeys, keyCol, nShards)
       .as[(String, Int)].groupByKey(_._2)
-    val shardsKV = shards.select(col("shard").cast("int"), col("bytes"))
-      .as[(Int, Array[Byte])].groupByKey(_._1)
+    val shardsKV = withInserts(shards)
+      .as[(Int, Array[Byte], Long)].groupByKey(_._1)
     shardsKV.cogroup(keysKV) { (sid, bs, ks) =>
-      val existing = bs.map(_._2).toList
+      val existing = bs.toList
       if (existing.isEmpty)
         throw new IllegalStateException(s"seen-shard $sid missing from snapshot")
       if (existing.sizeIs > 1)
         throw new IllegalStateException(s"seen-shard $sid duplicated in snapshot")
-      if (ks.isEmpty) Iterator.single((sid, existing.head))
+      if (ks.isEmpty) Iterator.single(existing.head)
       else {
-        val f = BloomFilter.readFrom(new ByteArrayInputStream(existing.head))
-        ks.foreach { case (k, _) => f.putString(k) }
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(existing.head._2))
+        var n = 0L
+        ks.foreach { case (k, _) => f.putString(k); n += 1 }
         val bos = new ByteArrayOutputStream(); f.writeTo(bos)
-        Iterator.single((sid, bos.toByteArray))
+        Iterator.single((sid, bos.toByteArray, existing.head._3 + n))
       }
-    }.toDF("shard", "bytes")
+    }.toDF("shard", "bytes", "inserts")
   }
 
   /** Like [[updateDf]] but emits ONLY the shards that received at least
@@ -251,22 +280,23 @@ object BloomShards {
     import spark.implicits._
     val keysKV = withShard(newKeys, keyCol, nShards)
       .as[(String, Int)].groupByKey(_._2)
-    val shardsKV = shards.select(col("shard").cast("int"), col("bytes"))
-      .as[(Int, Array[Byte])].groupByKey(_._1)
+    val shardsKV = withInserts(shards)
+      .as[(Int, Array[Byte], Long)].groupByKey(_._1)
     shardsKV.cogroup(keysKV) { (sid, bs, ks) =>
       if (ks.isEmpty) Iterator.empty // untouched: pass-through is implicit in merge-on-read
       else {
-        val existing = bs.map(_._2).toList
+        val existing = bs.toList
         if (existing.isEmpty)
           throw new IllegalStateException(s"seen-shard $sid missing from snapshot")
         if (existing.sizeIs > 1)
           throw new IllegalStateException(s"seen-shard $sid duplicated in snapshot")
-        val f = BloomFilter.readFrom(new ByteArrayInputStream(existing.head))
-        ks.foreach { case (k, _) => f.putString(k) }
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(existing.head._2))
+        var n = 0L
+        ks.foreach { case (k, _) => f.putString(k); n += 1 }
         val bos = new ByteArrayOutputStream(); f.writeTo(bos)
-        Iterator.single((sid, bos.toByteArray))
+        Iterator.single((sid, bos.toByteArray, existing.head._3 + n))
       }
-    }.toDF("shard", "bytes")
+    }.toDF("shard", "bytes", "inserts")
   }
 
   /** Build a shard Dataset from scratch over a key column. */

@@ -139,11 +139,18 @@ object ReferenceSimulator {
     val fetches = Vector.newBuilder[SimFetch]
     val resourceLog = Vector.newBuilder[(Int, String, Long)]
     val resourceUsed = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    // pool-level breaker (`TorResourceController.scala:59-60,86-96`):
+    // failures accumulate against the resource that served the batch
+    val resourceFail = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    def openResources: Seq[String] =
+      if (cfg.maxResourceFailures <= 0) cfg.resources
+      else cfg.resources.filter(r => resourceFail(r) < cfg.maxResourceFailures)
     var round = 0
     var done = false
     while (!done && round < cfg.maxRounds) {
       val waits = frontier.values.filter(_.status == TaskStatus.Wait).toVector
       if (waits.isEmpty) done = true
+      else if (openResources.isEmpty) done = true // pool exhausted: NoResourcesAvailable
       else {
         // lease multiplexing: one seeded-pick task type per round
         // (`QueueTaskServiceImpl.scala:32-55`); single-type crawls skip it
@@ -169,9 +176,10 @@ object ReferenceSimulator {
           }.toVector
           val selected = perHost.sortWith(rankLt).take(cfg.roundBudget)
 
-          // A5: the batch acquires the least-used resource and bumps its
-          // usedCount (one acquisition per leased batch)
-          val resource = cfg.resources.minBy(r => (resourceUsed(r), r))
+          // A5: the batch acquires the least-used OPEN resource and bumps
+          // its usedCount (one acquisition per leased batch); resources at
+          // the failure cap are closed and never picked again
+          val resource = openResources.minBy(r => (resourceUsed(r), r))
           resourceUsed(resource) += 1
           resourceLog += ((round, resource, resourceUsed(resource)))
 
@@ -213,6 +221,11 @@ object ReferenceSimulator {
             val newProject = nextByProject.getOrElse(parentProject, parentProject)
             UrlNormalizer.resolve(parentUrl, href).foreach(n => insert(n, 0, round + 1, newProject))
           }
+
+          // pool breaker: the round's fetch failures charge the resource
+          // that served the batch
+          resourceFail(resource) += roundFetches.count(f =>
+            f.outcome == Outcome.IoFailed || f.outcome == Outcome.GenericFailed)
 
           // politeness: every fetched host parks (F2); banned overrides
           // (F3); failCount at cap closes the host for good (D3)

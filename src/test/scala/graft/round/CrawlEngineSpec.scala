@@ -312,6 +312,161 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
     assert(statuses == Set(TaskStatus.Skipped))
   }
 
+  test("pool-level resource breaker: engine matches simulator, parks one proxy then stops") {
+    // the shared breaker scenario (SparkEntry.breakerSpec/Cfg, also the
+    // resource_breaker oracle): proxy-a hits maxResourceFailures=3 and is
+    // parked, proxy-b serves the remaining rounds alone, then the pool
+    // exhausts and the crawl stops with NoResourcesAvailable
+    val bSpec = graft.SparkEntry.breakerSpec
+    val bCfg = graft.SparkEntry.breakerCfg
+    val stateDir = tmpDir("breaker")
+    val corpus = CorpusTable.create(spark, bSpec)
+    val stops = scala.collection.mutable.Buffer.empty[String]
+    val hooks = PipelineHooks(notifiers = Seq(
+      new CrawlNotifier {
+        override def onStop(reason: String, s: CrawlEngine.CrawlSummary): Unit =
+          stops += reason
+      }))
+    // interrupt + resume: per-resource failure counts must restore from the
+    // manifest, or a resumed crawl would reopen a parked proxy
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(bSpec), bCfg.copy(maxRounds = 5))
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(bSpec), bCfg, hooks)
+    assert(stops.toList == List(StopReason.NoResourcesAvailable), s"got $stops")
+    val simB = ReferenceSimulator.run(CorpusGen.simCorpus(bSpec), CorpusGen.seeds(bSpec), bCfg)
+    val (engineSeq, _) = engineFetches(stateDir)
+    assert(engineSeq == simB.fetches.map(f => (f.round, f.seq, f.urlNorm, f.outcome)))
+    val engineLog = CrawlEngine.resourceLog(spark, new SnapshotStore(stateDir, spark))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(engineLog == simB.resourceLog)
+    // the breaker must actually bite: the tail rounds are served by a
+    // SINGLE surviving resource while the other is parked
+    val lastOfA = engineLog.filter(_._2 == "proxy-a").map(_._1).max
+    val afterA = engineLog.filter(_._1 > lastOfA)
+    assert(afterA.nonEmpty && afterA.forall(_._2 == "proxy-b"),
+      s"expected proxy-b-only tail after proxy-a parked at round $lastOfA: $engineLog")
+    // and the stop strands wait rows (pool exhausted, work remaining)
+    val store = new SnapshotStore(stateDir, spark)
+    val waits = store.readFrontier(store.latestVersion.get)
+      .filter(org.apache.spark.sql.functions.col("status") === TaskStatus.Wait).count()
+    assert(waits > 0)
+  }
+
+  test("A12 write-back sink merges extractedText onto the frontier in-commit (full ≡ delta)") {
+    val full = tmpDir("wb-full"); val delta = tmpDir("wb-delta")
+    val corpus = CorpusTable.create(spark, spec)
+    val hooks = PipelineHooks(parsedSinks = Seq(FrontierWriteBackSink))
+    CrawlEngine.crawl(spark, new SnapshotStore(full, spark),
+      corpus, CorpusGen.seeds(spec), cfg, hooks)
+    CrawlEngine.crawl(spark, new SnapshotStore(delta, spark),
+      corpus, CorpusGen.seeds(spec),
+      cfg.copy(frontierLayout = "delta", frontierCompactEvery = 3), hooks)
+    def sources(dir: String): Map[Long, Option[String]] = {
+      val store = new SnapshotStore(dir, spark)
+      store.readFrontier(store.latestVersion.get)
+        .select("id", "source")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    }
+    val fullSrc = sources(full)
+    // simulator truth: source = extractedText of the row's successful fetch
+    val bySuccess = simOut.fetches.filter(_.outcome == Outcome.Success)
+      .map(f => f.id -> f.extractedText).toMap
+    val expected = simOut.frontier.map(e => e.id -> bySuccess.get(e.id).flatten).toMap
+    assert(fullSrc == expected)
+    assert(fullSrc.values.exists(_.isDefined), "some row must carry extracted text")
+    assert(fullSrc.values.exists(_.isEmpty), "unfetched rows keep a null source")
+    // merge-on-read carries the column identically under the delta layout
+    assert(sources(delta) == expected)
+    // without the sink, the frontier schema is unchanged (no source column)
+    val plain = tmpDir("wb-plain")
+    CrawlEngine.crawl(spark, new SnapshotStore(plain, spark),
+      corpus, CorpusGen.seeds(spec), cfg)
+    val st = new SnapshotStore(plain, spark)
+    assert(!st.readFrontier(st.latestVersion.get).columns.contains("source"))
+  }
+
+  test("F6 wall-clock timeout stops between rounds and resumes exactly") {
+    val full = tmpDir("wall-full"); val timed = tmpDir("wall-timed")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(full, spark), corpus, CorpusGen.seeds(spec), cfg)
+    val stops = scala.collection.mutable.Buffer.empty[String]
+    val hooks = PipelineHooks(notifiers = Seq(
+      new CrawlNotifier {
+        override def onStop(reason: String, s: CrawlEngine.CrawlSummary): Unit =
+          stops += reason
+      }))
+    // 1-second allowance: the first round starts (elapsed 0 < 1) and the
+    // loop stops at the next top-of-round check — always mid-crawl for
+    // this spec (full run takes tens of rounds)
+    CrawlEngine.crawl(spark, new SnapshotStore(timed, spark),
+      corpus, CorpusGen.seeds(spec), cfg.copy(maxWallSecs = 1L), hooks)
+    assert(stops.toList == List(StopReason.WallClockTimeout), s"got $stops")
+    // resume with no wall limit completes to the identical crawl
+    CrawlEngine.crawl(spark, new SnapshotStore(timed, spark),
+      corpus, CorpusGen.seeds(spec), cfg)
+    val (a, _) = engineFetches(full)
+    val (b, _) = engineFetches(timed)
+    assert(a == b)
+  }
+
+  test("manifest round-trips resource ids with quotes/newlines; empty pool refused") {
+    // config-time validation (round-3 ADVICE): empty pool and control chars
+    // fail loudly at construction, never mid-crawl from minBy
+    intercept[IllegalArgumentException](CrawlConfig(resources = Nil))
+    intercept[IllegalArgumentException](CrawlConfig(resources = Seq("a\nb")))
+    intercept[IllegalArgumentException](CrawlConfig(resources = Seq("dup", "dup")))
+    // quotes are legal — the manifest JSON-escapes them (round-3 VERDICT
+    // wrong #2: a quoted id corrupted the regex-parsed commit marker)
+    val quoted = """px-"quoted""""
+    val cfgQ = cfg.copy(resources = Seq(quoted, "px-plain"), maxRounds = 3)
+    val stateDir = tmpDir("quoted")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(stateDir, spark),
+      corpus, CorpusGen.seeds(spec), cfgQ)
+    val log = CrawlEngine.resourceLog(spark, new SnapshotStore(stateDir, spark))
+      .collect().map(_.getString(1)).toSet
+    assert(log.contains(quoted), s"quoted resource id lost in the manifest: $log")
+  }
+
+  test("staged-corpus identity: same-count different-content re-stages; same files reuse zero jobs") {
+    import spark.implicits._
+    val dir = tmpDir("stage-fp")
+    def mk(urls: Seq[String]): org.apache.spark.sql.DataFrame =
+      urls.map(u => (u, new java.sql.Timestamp(1767225600000L),
+        s"<html><body>x</body></html>".getBytes("UTF-8"), "x", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+    val a = mk((0 until 10).map(i => s"https://h.example/a$i"))
+    val b = mk((0 until 10).map(i => s"https://h.example/b$i")) // same count!
+    CrawlEngine.corpusStagedBucketed(spark, a, dir)
+    // same row count, different urls: the round-3 row-count check silently
+    // served A — the content fingerprint must re-stage
+    val stagedB = CrawlEngine.corpusStagedBucketed(spark, b, dir)
+    assert(stagedB.select("urlNorm").collect().map(_.getString(0)).forall(_.contains("/b")),
+      "stale staged corpus served for a same-count different-content input")
+    // file-backed corpus: a resume with the SAME input files must validate
+    // from metadata alone — zero Spark jobs
+    val pq = tmpDir("stage-pq-src")
+    mk((0 until 10).map(i => s"https://h.example/c$i")).write.mode("overwrite").parquet(pq)
+    val dir2 = tmpDir("stage-fp2")
+    CrawlEngine.corpusStagedBucketed(spark, spark.read.parquet(pq), dir2)
+    // build the caller's DataFrame BEFORE counting: spark.read.parquet's
+    // own footer/schema job belongs to the caller, not the validation
+    val again = spark.read.parquet(pq)
+    again.schema
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CrawlEngine.corpusStagedBucketed(spark, again, dir2)
+      org.apache.spark.GraftSparkAccess.drainListenerBus(spark.sparkContext)
+      assert(jobs.get() == 0, s"clean reuse ran ${jobs.get()} Spark jobs — must be metadata-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("kill-after-round-k resume produces an identical crawl (F7/F8)") {
     val full = tmpDir("full"); val resumed = tmpDir("resumed")
     val corpus = CorpusTable.create(spark, spec)

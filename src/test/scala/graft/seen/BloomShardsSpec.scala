@@ -114,4 +114,38 @@ class BloomShardsSpec extends AnyFunSuite with SparkSpec {
     val out = BloomShards.notSeen(candidates, seen, "k", nShards = 2)
     assert(out.count() == 10)
   }
+
+  test("saturation signal: per-shard insert counters accumulate and flag over-capacity") {
+    import spark.implicits._
+    val n = 4
+    val cap = 64L
+    val empty = BloomShards.emptyDf(spark, n, expectedPerShard = cap)
+    // fresh shards report zero inserts
+    assert(BloomShards.saturationDf(empty, cap)
+      .agg(max(col("inserts"))).head().getLong(0) == 0L)
+    val s1 = BloomShards.updateDf(empty, (0 until 100).map(i => s"u$i").toDF("k"), "k", n)
+    val s2 = BloomShards.updateDf(s1, (100 until 400).map(i => s"u$i").toDF("k"), "k", n)
+    val sat = BloomShards.saturationDf(s2, cap)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    // counters accumulate across updates: 400 keys total across 4 shards
+    assert(sat.map(_._2).sum == 400L, s"got $sat")
+    // every shard holds ~100 keys against capacity 64: the signal must flag
+    assert(sat.forall(_._3 > 1.0), s"expected fillRatio > 1 everywhere: $sat")
+    // membership stays exact regardless of saturation (bloom = pre-filter)
+    val probe = BloomShards.probeFlagsDf((0 until 400).map(i => s"u$i").toDF("k"), "k", s2, n)
+    assert(probe.filter(not(col("maybe"))).count() == 0)
+    // delta path counts too, and only emits touched shards
+    val touched = BloomShards.updateTouchedDf(s2, Seq("u400").toDF("k"), "k", n)
+    val tRows = touched.collect().map(r => r.getInt(0) -> r.getLong(2))
+    val s2Counts = sat.map(t => t._1 -> t._2).toMap
+    assert(tRows.length < n)
+    assert(tRows.forall { case (sid, ins) => ins == s2Counts(sid) + 1L }, s"got ${tRows.toSeq}")
+    // legacy shard tables (no inserts column) keep working: counts restart
+    // at zero (a documented lower bound), membership untouched
+    val legacy = s2.select("shard", "bytes")
+    val s3 = BloomShards.updateDf(legacy, Seq("u401").toDF("k"), "k", n)
+    assert(BloomShards.saturationDf(s3, cap).agg(max(col("inserts"))).head().getLong(0) == 1L)
+    val probe3 = BloomShards.probeFlagsDf((0 until 400).map(i => s"u$i").toDF("k"), "k", s3, n)
+    assert(probe3.filter(not(col("maybe"))).count() == 0)
+  }
 }
