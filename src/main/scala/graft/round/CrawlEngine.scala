@@ -693,9 +693,12 @@ object CrawlEngine {
     // bloom-shard saturation signal (round-3 VERDICT item 8): a filter
     // sized for seenExpectedPerShard keys degrades FPP silently past
     // capacity — membership stays exact (the anti-join confirms) but the
-    // confirm traffic grows. Track the fullest shard per round from the
-    // persisted `inserts` counters (a columnar read of nShards longs) and
-    // surface it in the manifest + a driver warning at 90%.
+    // confirm traffic grows. The fullest shard's persisted `inserts`
+    // counter is read back (a columnar scan of nShards longs) and surfaced
+    // in the manifest + a driver warning at 90%. Checked only on FULL seen
+    // writes (compaction cadence) so the delta path's per-round driver job
+    // count stays flat — a fixed serial term per round is exactly what the
+    // N→4N scaling criterion punishes.
     var seenSaturation: Option[(Long, Double)] = None
     seenShards.foreach { shardsDf =>
       val newKeys = discovered.select("urlNorm")
@@ -704,19 +707,21 @@ object CrawlEngine {
           graft.seen.BloomShards.updateTouchedDf(shardsDf, newKeys, "urlNorm", cfg.seenShards)
         else graft.seen.BloomShards.updateDf(shardsDf, newKeys, "urlNorm", cfg.seenShards)
       timed("seen-update")(store.writeSeen(version + 1, seen2))
-      val maxIns = store.readSeen(version + 1)
-        .agg(max(coalesce(col("inserts"), lit(0L)))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
-      val ratio = maxIns.toDouble / math.max(cfg.seenExpectedPerShard, 1L)
-      seenSaturation = Some((maxIns, ratio))
-      if (ratio >= 0.9)
-        System.err.println(f"[graft] seen-shard saturation: fullest shard at " +
-          f"$maxIns inserts = ${ratio * 100}%.0f%% of seenExpectedPerShard=" +
-          f"${cfg.seenExpectedPerShard} — bloom FPP degrading; rebuild the seen " +
-          f"set (BloomShards.buildDf) with a larger expectedPerShard at the next " +
-          f"compaction")
+      if (!seenDelta) {
+        val maxIns = store.readSeen(version + 1)
+          .agg(max(coalesce(col("inserts"), lit(0L)))).head() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+        val ratio = maxIns.toDouble / math.max(cfg.seenExpectedPerShard, 1L)
+        seenSaturation = Some((maxIns, ratio))
+        if (ratio >= 0.9)
+          System.err.println(f"[graft] seen-shard saturation: fullest shard at " +
+            f"$maxIns inserts = ${ratio * 100}%.0f%% of seenExpectedPerShard=" +
+            f"${cfg.seenExpectedPerShard} — bloom FPP degrading; rebuild the seen " +
+            f"set (BloomShards.buildDf) with a larger expectedPerShard at the next " +
+            f"compaction")
+      }
     }
     // A8-A13 sink family: raw + parsed sinks write BEFORE the manifest
     // seals (reference order: SaveCrawlResultController saves, THEN reports

@@ -195,6 +195,10 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
     assert(formats("frontierFormat").contains("delta"), "no frontier delta commits")
     assert(formats("hostsFormat").contains("delta"), "no hosts delta commits")
     assert(formats("seenFormat").contains("delta"), "no seen delta commits")
+    // saturation signal: compaction (full seen) rounds record the fullest
+    // shard's insert counter in the manifest
+    assert((1 to latest).exists(v => store.readMeta(v).contains("seenMaxShardInserts")),
+      "no compaction round recorded seenMaxShardInserts")
     // and a delta commit wrote ∝ touched rows, not ∝ table size: some delta
     // version's on-disk hosts/seen dirs are smaller than the merged view
     val deltaVs = (1 to latest)
