@@ -39,13 +39,23 @@ object CrawlJob {
       seenFilter = sys.env.get("GRAFT_SEEN").contains("1"),
       resources = sys.env.get("GRAFT_RESOURCES")
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq("default")),
-      maxHostFailures = sys.env.getOrElse("GRAFT_MAX_HOST_FAILURES", "0").toInt)
-    // stop-reason surfaced on stderr through the notification seam
-    val hooks = graft.round.PipelineHooks(notifiers = Seq(
-      new graft.round.CrawlNotifier {
-        override def onStop(reason: String, s: CrawlEngine.CrawlSummary): Unit =
-          System.err.println(s"[crawl] stopped: $reason after ${s.fetches} fetches")
-      }))
+      maxHostFailures = sys.env.getOrElse("GRAFT_MAX_HOST_FAILURES", "0").toInt,
+      // pool-level breaker cap (0 = off) and F6 wall-clock stop (seconds,
+      // 0 = off) — both resume-safe, the state dir restarts exactly
+      maxResourceFailures = sys.env.getOrElse("GRAFT_MAX_RESOURCE_FAILURES", "0").toInt,
+      maxWallSecs = sys.env.getOrElse("GRAFT_MAX_WALL_SECS", "0").toLong)
+    // stop-reason surfaced on stderr through the notification seam;
+    // GRAFT_WRITEBACK=1 registers the A12 frontier write-back sink
+    val hooks = graft.round.PipelineHooks(
+      parsedSinks =
+        if (sys.env.get("GRAFT_WRITEBACK").contains("1"))
+          Seq(graft.round.FrontierWriteBackSink)
+        else Nil,
+      notifiers = Seq(
+        new graft.round.CrawlNotifier {
+          override def onStop(reason: String, s: CrawlEngine.CrawlSummary): Unit =
+            System.err.println(s"[crawl] stopped: $reason after ${s.fetches} fetches")
+        }))
     val t0 = System.nanoTime()
     val summary = CrawlEngine.crawl(spark, store, corpus, CorpusGen.seeds(spec), cfg, hooks)
     val sec = (System.nanoTime() - t0) / 1e9

@@ -699,7 +699,12 @@ object CrawlEngine {
     // writes (compaction cadence) so the delta path's per-round driver job
     // count stays flat — a fixed serial term per round is exactly what the
     // N→4N scaling criterion punishes.
+    // the EFFECTIVE shard capacity: an earlier auto-resize persisted its
+    // choice in the manifest; otherwise the configured sizing applies
+    val effCapacity = meta0.get("seenExpectedPerShard").map(_.toLong)
+      .getOrElse(cfg.seenExpectedPerShard)
     var seenSaturation: Option[(Long, Double)] = None
+    var seenCapacityOut = effCapacity
     seenShards.foreach { shardsDf =>
       val newKeys = discovered.select("urlNorm")
       val seen2 =
@@ -713,14 +718,30 @@ object CrawlEngine {
             case r if r.isNullAt(0) => 0L
             case r => r.getLong(0)
           }
-        val ratio = maxIns.toDouble / math.max(cfg.seenExpectedPerShard, 1L)
-        seenSaturation = Some((maxIns, ratio))
-        if (ratio >= 0.9)
+        var ratio = maxIns.toDouble / math.max(effCapacity, 1L)
+        if (ratio >= 1.0) {
+          // auto-resize at the compaction point: rebuild every shard from
+          // the full key set (previous frontier ∪ this round's discovered)
+          // with capacity = next power of two ≥ 2× the fullest shard.
+          // Membership is EXACT before and after (bloom is a pre-filter;
+          // the anti-join confirms) — only the FPP, i.e. the volume of
+          // confirm traffic, improves. O(frontier) cost, but only at the
+          // compaction cadence that already writes every shard.
+          val newCap = java.lang.Long.highestOneBit(math.max(2 * maxIns, 2L) - 1) * 2
+          System.err.println(s"[graft] seen-shard saturation: fullest shard " +
+            s"$maxIns ≥ capacity $effCapacity — rebuilding all ${cfg.seenShards} " +
+            s"shards at expectedPerShard=$newCap (compaction auto-resize)")
+          val allKeys = frontier.select("urlNorm").unionByName(newKeys)
+          val rebuilt = graft.seen.BloomShards.buildDf(
+            allKeys, "urlNorm", cfg.seenShards, newCap, cfg.seenFpp)
+          timed("seen-resize")(store.writeSeen(version + 1, rebuilt))
+          seenCapacityOut = newCap
+          ratio = maxIns.toDouble / newCap
+        } else if (ratio >= 0.9)
           System.err.println(f"[graft] seen-shard saturation: fullest shard at " +
-            f"$maxIns inserts = ${ratio * 100}%.0f%% of seenExpectedPerShard=" +
-            f"${cfg.seenExpectedPerShard} — bloom FPP degrading; rebuild the seen " +
-            f"set (BloomShards.buildDf) with a larger expectedPerShard at the next " +
-            f"compaction")
+            f"$maxIns inserts = ${ratio * 100}%.0f%% of capacity $effCapacity — " +
+            f"auto-resize will trigger at the compaction after it crosses 100%%")
+        seenSaturation = Some((maxIns, ratio))
       }
     }
     // A8-A13 sink family: raw + parsed sinks write BEFORE the manifest
@@ -765,7 +786,9 @@ object CrawlEngine {
          else Map(
            "seenFormat" -> (if (seenDelta) "delta" else "full"),
            "seenBase" -> (if (seenDelta) prevSeenBase else version + 1).toString,
-           "seenShards" -> cfg.seenShards.toString)) ++
+           "seenShards" -> cfg.seenShards.toString,
+           // effective per-shard capacity (auto-resize persists its pick)
+           "seenExpectedPerShard" -> seenCapacityOut.toString)) ++
         seenSaturation.fold(Map.empty[String, String]) { case (ins, ratio) =>
           Map("seenMaxShardInserts" -> ins.toString,
             "seenFillRatio" -> f"$ratio%.4f")

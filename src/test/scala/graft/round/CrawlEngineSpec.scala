@@ -471,6 +471,38 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("saturated bloom shards auto-resize at compaction; crawl output unchanged") {
+    val plain = tmpDir("resize-plain"); val tiny = tmpDir("resize-tiny")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(plain, spark), corpus, CorpusGen.seeds(spec), cfg)
+    // capacity 4 per shard is saturated almost immediately by the ~100-URL
+    // frontier: the compaction-point auto-resize must rebuild with a larger
+    // capacity — and membership must stay exact throughout (bloom is only a
+    // pre-filter, so the crawl is bit-identical to the unfiltered run)
+    val tinyCfg = cfg.copy(seenFilter = true, seenShards = 4,
+      seenExpectedPerShard = 4L, frontierLayout = "delta", frontierCompactEvery = 2)
+    CrawlEngine.crawl(spark, new SnapshotStore(tiny, spark),
+      corpus, CorpusGen.seeds(spec), tinyCfg)
+    val (a, _) = engineFetches(plain)
+    val (b, _) = engineFetches(tiny)
+    assert(a == b)
+    val store = new SnapshotStore(tiny, spark)
+    val latest = store.latestVersion.get
+    val caps = (1 to latest).flatMap(v =>
+      store.readMeta(v).get("seenExpectedPerShard").map(_.toLong))
+    assert(caps.exists(_ > 4L), s"auto-resize never triggered: capacities $caps")
+    // capacity is monotone non-decreasing and the final fill ratio is sane
+    assert(caps == caps.sorted, s"capacity shrank: $caps")
+    val lastRatio = (1 to latest).flatMap(v =>
+      store.readMeta(v).get("seenFillRatio").map(_.toDouble)).last
+    assert(lastRatio < 1.0, s"still saturated after resize: $lastRatio")
+    // a resumed crawl restores the resized capacity from the manifest (no
+    // shrink back to cfg's 4): run one more config-identical crawl call —
+    // it resumes at completion, touching nothing, and must not throw
+    CrawlEngine.crawl(spark, new SnapshotStore(tiny, spark),
+      corpus, CorpusGen.seeds(spec), tinyCfg)
+  }
+
   test("kill-after-round-k resume produces an identical crawl (F7/F8)") {
     val full = tmpDir("full"); val resumed = tmpDir("resumed")
     val corpus = CorpusTable.create(spark, spec)
