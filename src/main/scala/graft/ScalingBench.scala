@@ -38,12 +38,16 @@ object ScalingBench {
     // "superlinear" artifact in BENCH.md).
     val coresPerWorker = sys.env.get("SPARK_GRAFT_CORES_PER_WORKER")
       .map(_.toInt).getOrElse(math.min(4, cores))
-    // partitions = 4 waves per stage: with exactly one task per core, any
-    // straggler (skewed partition, GC pause) extends the whole stage;
-    // finer tasks let free cores absorb the tail
+    // partitions = 4 waves per stage by default: with exactly one task per
+    // core, any straggler (skewed partition, GC pause) extends the whole
+    // stage; finer tasks let free cores absorb the tail.
+    // SPARK_GRAFT_PARTS_PER_CORE overrides the wave count — the evlog
+    // decomposition showed 80% average core occupancy at the high level
+    // (wave quantization), so the knob exists to measure the trade.
+    val partsPerCore = sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "4").toInt
     val builder0 = SparkSession.builder()
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores * 4)
+      .config("spark.sql.shuffle.partitions", cores * partsPerCore)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", tmpBase)
       .config("spark.ui.enabled", "false")
