@@ -199,6 +199,18 @@ object CrawlEngine {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // driver-restart path: the session catalog is fresh (tableExists =
+    // false) but the staged files + marker survive on disk — RE-REGISTER
+    // the bucketed table over the existing location instead of re-staging
+    // (an O(corpus) rewrite on every driver start at 100 TB). The marker
+    // validation below still runs, so a different corpus re-stages.
+    if (!spark.catalog.tableExists(table) &&
+        java.nio.file.Files.exists(markerPath) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/corpus_bucketed")))
+      spark.sql(
+        s"""CREATE TABLE $table (urlNorm STRING, warcTs BIGINT, htmlStr STRING, lang STRING)
+           |USING parquet CLUSTERED BY (urlNorm) SORTED BY (urlNorm) INTO $n BUCKETS
+           |LOCATION '$dir/corpus_bucketed'""".stripMargin)
     if (!spark.catalog.tableExists(table) || !java.nio.file.Files.exists(markerPath)) stage()
     else {
       val m = java.nio.file.Files.readString(markerPath)

@@ -468,6 +468,23 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
       CrawlEngine.corpusStagedBucketed(spark, again, dir2)
       org.apache.spark.GraftSparkAccess.drainListenerBus(spark.sparkContext)
       assert(jobs.get() == 0, s"clean reuse ran ${jobs.get()} Spark jobs — must be metadata-only")
+      // driver-restart path: the session catalog forgets the table (here:
+      // explicit DROP — external table, files + marker stay) — reuse must
+      // RE-REGISTER over the existing location, still zero jobs, never an
+      // O(corpus) re-stage
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir2.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      spark.sql(s"DROP TABLE graft_corpus_$digest")
+      jobs.set(0)
+      val reRegistered = CrawlEngine.corpusStagedBucketed(spark, again, dir2)
+      org.apache.spark.GraftSparkAccess.drainListenerBus(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"driver-restart reuse ran ${jobs.get()} Spark jobs — must re-register, not re-stage")
+      assert(reRegistered.count() == 10)
+      // the re-registered table keeps its bucket spec (no-exchange joins)
+      val desc = spark.sql(s"DESCRIBE FORMATTED graft_corpus_$digest")
+        .collect().map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+      assert(desc.contains("Num Buckets") && desc.contains("urlNorm"), desc)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
