@@ -112,6 +112,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // cluster resolution over the LSH pair graph (LSH ≡ exact pairs here,
+    // proven by the dedup_minhash_lsh oracle) — survivor = min doc_id
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(Dedup.minhashLsh(t(s, d, "documents")))
+        .orderBy(col("doc_id"))),
     "dedup_embedding_cos" -> ((s, d) =>
       Similarity.cosineNearDup(t(s, d, "embeddings")).orderBy(col("vec_a"), col("vec_b"))),
     "dedup_embedding_rplsh" -> ((s, d) =>
@@ -166,19 +171,40 @@ object SparkEntry {
   private val SqlLexEs = "['el','los','las','y','es','un','una','de','que','por']"
   private val SqlFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
-  private val SqlJaccardPairs =
-    s"""WITH d AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+  // shared CTE block ending in `jp` = thresholded Jaccard pairs — reused by
+  // the pair oracles and the connected-components closure below
+  private val SqlJaccardCtes =
+    s"""d AS (SELECT doc_id, $SqlToks AS toks FROM documents),
        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
        |      FROM d WHERE len(toks) >= 3),
        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
-       |SELECT doc_a, doc_b,
-       |       round(inter::DOUBLE/(x.n + y.n - inter), 4) AS jaccard
-       |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-       |WHERE round(inter::DOUBLE/(x.n + y.n - inter), 4) >= 0.8
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+       |jp AS (SELECT doc_a, doc_b,
+       |         round(inter::DOUBLE/(x.n + y.n - inter), 4) AS jaccard
+       |       FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |       WHERE round(inter::DOUBLE/(x.n + y.n - inter), 4) >= 0.8)""".stripMargin
+
+  private val SqlJaccardPairs =
+    s"""WITH $SqlJaccardCtes
+       |SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""".stripMargin
+
+  // transitive closure of the (symmetric) pair graph via a recursive CTE:
+  // DuckDB's UNION-recursion reaches a fixpoint on cyclic graphs, and
+  // comp(x) = least(x, min reachable) is exactly the min-id component
+  private val SqlComponents =
+    s"""WITH RECURSIVE $SqlJaccardCtes,
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |      UNION SELECT doc_b, doc_a FROM jp),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+       |SELECT CAST(u AS BIGINT) AS doc_id,
+       |       CAST(least(u, min(v)) AS BIGINT) AS component_id,
+       |       CAST(least(u, min(v)) AS BIGINT) AS keep_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   private val SqlAntiJoin =
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
@@ -297,6 +323,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" -> SqlJaccardPairs,
     "dedup_minhash_lsh" -> SqlJaccardPairs,
+    "dedup_components" -> SqlComponents,
     "sessionize_window" ->
       """WITH t AS (
         |  SELECT user_id, event_id, ts,

@@ -161,4 +161,86 @@ object Dedup {
   def simhashTable(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), lpad(hex(simhashUdf(col("text"))), 16, "0").as("simhash"))
+
+  /** Connected components over a near-dup pair graph → canonical-document
+    * selection: (doc_id, component_id, keep_id) with component_id = keep_id
+    * = the component's minimum doc_id. Completes the dedup story: the pair
+    * operators above say WHICH docs are near-dups, this resolves the pair
+    * graph into survivor clusters — the content-level analog of the
+    * reference's keep-max-id duplicate resolution over URL identity
+    * (`SqlQueueTaskProvider.scala:73-77`; min-id here because training-data
+    * dedup conventionally keeps the earliest-crawled doc).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — each operation is
+    * one window + one shuffle over the edge list, converges in O(log²)
+    * iterations, and at the fixpoint every node holds a direct edge to its
+    * component's minimum. Chosen over plain min-label propagation because
+    * propagation needs O(diameter) rounds: a pathological near-dup CHAIN
+    * (each doc similar only to its neighbors) has diameter ∝ cluster size,
+    * while star operations contract it logarithmically. Never materializes
+    * a component in one place — no driver-side union-find, no
+    * collect — so a 10⁹-edge pair graph from a 100 TB corpus streams
+    * through shuffles.
+    *
+    * Each iteration ends in `localCheckpoint` to truncate the (otherwise
+    * exponentially nesting) lineage; on a real cluster prefer
+    * `spark.sparkContext.setCheckpointDir` + reliable checkpoints if
+    * executor loss mid-computation must be survivable.
+    *
+    * Convergence is detected by an order-insensitive (count,
+    * bit_xor(xxhash64)) checksum of the edge set — one tiny aggregate per
+    * iteration instead of a full `except` self-join; a checksum collision
+    * on UNEQUAL consecutive edge sets (probability ≈ 2⁻⁶⁴ per iteration)
+    * could stop one iteration early, which the `require` below would
+    * surface on the next run rather than silently mis-cluster. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L // no edges ⇒ nothing to contract
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every neighbor LARGER than u re-links to the minimum of
+      // u's closed neighborhood (m ≤ u < v keeps edges canonical m < v)
+      val large = sym(edges)
+        .withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+      // small-star: u and its strictly-smaller neighbors all re-link to
+      // their minimum (the component root emits nothing from its own group
+      // — its members emit the edges that keep it attached)
+      val smaller = sym(large)
+        .filter(col("v") < col("u"))
+        .withColumn("m", min(col("v")).over(w))
+      val small = smaller.filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v"))
+        .unionByName(smaller.select(col("m").as("u"), col("u").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val cur = checksum(small)
+      converged = cur == prev
+      prev = cur
+      edges = small
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    // fixpoint edges are (componentMin, member) stars; the root itself is
+    // its own component
+    edges.select(col("v").as("doc_id"), col("u").as("component_id"))
+      .unionByName(edges.select(col("u").as("doc_id"), col("u").as("component_id")))
+      .distinct()
+      .withColumn("keep_id", col("component_id"))
+  }
 }

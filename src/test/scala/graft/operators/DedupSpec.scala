@@ -95,4 +95,57 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val f2 = Dedup.simhashTable(d).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(f1 == f2)
   }
+
+  /** Pure-Scala union-find truth for [[Dedup.connectedComponents]]: union by
+    * min root, so every set's root is its minimum id. */
+  private def ufComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(n => n -> find(n)).toMap
+  }
+
+  test("connected components resolve the near-dup pair graph to min-id clusters") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccard(docs, 3, 0.8).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "test data should contain planted near-dups")
+    val got = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == ufComponents(pairs))
+    got.foreach(t => assert(t._2 == t._3, "keep_id must equal the component min"))
+    // every doc appears exactly once
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  test("components close transitively on a pathological chain (diameter = n)") {
+    import spark.implicits._
+    // each doc near-dup ONLY to its neighbors: min-label propagation would
+    // need n rounds; the star operations must contract it in O(log² n)
+    val n = 257
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+    val cc = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 0L), s"chain must resolve to one min-0 component")
+    // randomized multi-component graph vs the union-find truth (incl.
+    // duplicate and reversed edges)
+    val rnd = new scala.util.Random(42)
+    val rpairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val rgot = Dedup.connectedComponents(rpairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rgot == ufComponents(rpairs))
+    // empty pair graph → empty result, correct schema
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.columns.toSeq == Seq("doc_id", "component_id", "keep_id"))
+    assert(empty.count() == 0)
+  }
 }

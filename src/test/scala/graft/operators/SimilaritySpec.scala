@@ -57,6 +57,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("trained IVF centroids: recall does not drop and lists do not unbalance") {
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 4, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(trainIters: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, nQueries = 4, k = 5,
+        centroidStride = 20, nprobe = 10, trainIters = trainIters).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      bf.count(ivf.contains).toDouble / bf.size
+    }
+    val r0 = recallOf(0); val r3 = recallOf(3)
+    assert(r3 >= r0 - 1e-9, s"Lloyd refinement dropped recall: $r0 -> $r3")
+    // balance: max/mean list population must not worsen — a skewed
+    // quantizer concentrates probes on hot lists at scale
+    def spread(trainIters: Int): Double = {
+      val ns = Similarity.ivfListSizes(emb, 20, trainIters).collect()
+        .map(_.getLong(1).toDouble)
+      ns.max / (ns.sum / ns.length)
+    }
+    val s0 = spread(0); val s3 = spread(3)
+    assert(s3 <= s0 + 1e-9, s"Lloyd refinement worsened balance: max/mean $s0 -> $s3")
+  }
+
   test("cosine near-dup pairs are symmetric-safe and thresholded") {
     Similarity.cosineNearDup(emb, 0.3).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))

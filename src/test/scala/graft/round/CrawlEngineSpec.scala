@@ -541,4 +541,119 @@ class CrawlEngineSpec extends AnyFunSuite with SparkSpec {
     val (b, _) = engineFetches(resumed)
     assert(a == b)
   }
+
+  test("stop precedence: Completed outranks WallClockTimeout outranks pool exhaustion") {
+    // extracted pure so the race (frontier exhausted in the same round the
+    // wall clock elapsed) is testable without a real clock — round-4 ADVICE
+    // #4: reporting WallClockTimeout for a finished crawl misleads
+    // notifiers about whether work remains
+    assert(CrawlEngine.stopCheck(0, wallExpired = true, poolExhausted = true)
+      .contains(StopReason.Completed))
+    assert(CrawlEngine.stopCheck(3, wallExpired = true, poolExhausted = true)
+      .contains(StopReason.WallClockTimeout))
+    assert(CrawlEngine.stopCheck(3, wallExpired = false, poolExhausted = true)
+      .contains(StopReason.NoResourcesAvailable))
+    assert(CrawlEngine.stopCheck(3, wallExpired = false, poolExhausted = false).isEmpty)
+  }
+
+  test("re-register after driver restart keeps the stage-time bucket count") {
+    import spark.implicits._
+    val pq = tmpDir("buckets-src")
+    (0 until 10).map(i => (s"https://h.example/c$i", new java.sql.Timestamp(1767225600000L),
+      "<html><body>x</body></html>".getBytes("UTF-8"), "x", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(pq)
+    val dir = tmpDir("buckets-dir")
+    CrawlEngine.corpusStagedBucketed(spark, spark.read.parquet(pq), dir, buckets = 6)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    def numBuckets: Int = spark.sql(s"DESCRIBE FORMATTED graft_corpus_$digest")
+      .collect().collectFirst { case r if r.getString(0) == "Num Buckets" =>
+        r.getString(1).trim.toInt }.get
+    assert(numBuckets == 6)
+    // driver restart (catalog forgets the external table) with a DIFFERENT
+    // requested count — e.g. the cluster was resized and
+    // spark.sql.shuffle.partitions changed. Registering with the session's
+    // count would declare bucket metadata the staged files don't satisfy:
+    // Spark trusts the spec, skips the exchange, and the fetch join goes
+    // silently wrong (round-4 ADVICE #1). The marker's count must win.
+    spark.sql(s"DROP TABLE graft_corpus_$digest")
+    val re = CrawlEngine.corpusStagedBucketed(spark, spark.read.parquet(pq), dir, buckets = 12)
+    assert(numBuckets == 6, s"re-registered with the session count, not the marker's")
+    assert(re.count() == 10)
+  }
+
+  test("a transformed frame over the same files bypasses the digest shortcut") {
+    import spark.implicits._
+    val pq = tmpDir("digest-src")
+    (0 until 10).map(i => (s"https://h.example/c$i", new java.sql.Timestamp(1767225600000L),
+      "<html><body>x</body></html>".getBytes("UTF-8"), "x", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(pq)
+    val dir = tmpDir("digest-dir")
+    CrawlEngine.corpusStagedBucketed(spark, spark.read.parquet(pq), dir)
+    // a FILTERED frame lists the same inputFiles, so its digest equals the
+    // marker's — but it produces different rows (round-4 ADVICE #2: the
+    // shortcut must apply only to bare file-source scans; everything else
+    // falls through to the count/fingerprint checks)
+    val filtered = spark.read.parquet(pq)
+      .filter(!org.apache.spark.sql.functions.col("url").endsWith("0"))
+    val staged = CrawlEngine.corpusStagedBucketed(spark, filtered, dir)
+    assert(staged.count() == 9,
+      "stale staged corpus served for a filtered frame over the same files")
+  }
+
+  test("robots rules stage with the bucketed corpus and read back corpus-free") {
+    val dir = tmpDir("robots-staged")
+    val corpus = CorpusTable.create(spark, spec)
+    CrawlEngine.crawl(spark, new SnapshotStore(dir, spark), corpus, CorpusGen.seeds(spec),
+      cfg.copy(corpusStaging = "bucketed"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/robots_rules")),
+      "stage must persist the rules table beside corpus_bucketed")
+    val staged = CrawlEngine.stagedRobotsRules(spark, dir)
+    assert(staged.exists(_.isDefined), s"staged rules not found: $staged")
+    val rules = staged.get.get
+    // the read-back plan touches ONLY the staged rules table — the round-4
+    // O(corpus) robots re-scan on every driver start is gone
+    assert(rules.inputFiles.nonEmpty &&
+      rules.inputFiles.forall(_.contains("robots_rules")), rules.inputFiles.mkString(","))
+    // roundtrip fidelity: staged ≡ derived-from-corpus
+    val derived = CrawlEngine.hostRules(spark, CrawlEngine.corpusNorm(corpus))
+      .collect().map(_.toString).sorted
+    assert(rules.collect().map(_.toString).sorted.sameElements(derived))
+    // a robots-free corpus records the emptiness in the marker: resume skips
+    // both the corpus scan AND the parquet read
+    import spark.implicits._
+    val plainDir = tmpDir("robots-none")
+    val noRobots = (0 until 10).map(i =>
+      (s"https://h.example/c$i", new java.sql.Timestamp(1767225600000L),
+        "<html><body>x</body></html>".getBytes("UTF-8"), "x", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    CrawlEngine.corpusStagedBucketed(spark, noRobots, plainDir)
+    assert(CrawlEngine.stagedRobotsRules(spark, plainDir) == Some(None))
+  }
+
+  test("resume without the write-back sink preserves written-back source text") {
+    val dir = tmpDir("wb-keep")
+    val corpus = CorpusTable.create(spark, spec)
+    val hooks = PipelineHooks(parsedSinks = Seq(FrontierWriteBackSink))
+    CrawlEngine.crawl(spark, new SnapshotStore(dir, spark),
+      corpus, CorpusGen.seeds(spec), cfg.copy(maxRounds = 6), hooks)
+    def srcMap(): Map[Long, Option[String]] = {
+      val store = new SnapshotStore(dir, spark)
+      store.readFrontier(store.latestVersion.get).select("id", "source")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    }
+    val written = srcMap().collect { case (id, Some(s)) => id -> s }
+    assert(written.nonEmpty, "phase 1 must write back some text")
+    // resume WITHOUT the sink: the full-rewrite select used to drop the
+    // frontier's source column, silently discarding the text (round-4
+    // ADVICE #3) — it must carry through unchanged instead
+    CrawlEngine.crawl(spark, new SnapshotStore(dir, spark),
+      corpus, CorpusGen.seeds(spec), cfg)
+    val fin = srcMap()
+    written.foreach { case (id, s) =>
+      assert(fin.get(id).flatten.contains(s), s"written-back source lost for id=$id")
+    }
+  }
 }
