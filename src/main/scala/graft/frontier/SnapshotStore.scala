@@ -60,7 +60,14 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
       frontier: DataFrame,
       hosts: DataFrame,
       results: Option[DataFrame],
-      metaLazy: => Map[String, String]): Unit = {
+      metaLazy: => Map[String, String],
+      // additional write units to run CONCURRENTLY with the table writes
+      // and await before the manifest seals (the engine passes the seen-
+      // shard update here so its cogroup job overlaps the frontier/hosts/
+      // results writes instead of serializing in front of them). Await
+      // gives the happens-before edge, so `metaLazy` may read state the
+      // units produced (e.g. the seen-saturation counters).
+      concurrent: Seq[() => Unit] = Nil): Unit = {
     // write-audit-publish: data first (overwrite any orphan), manifest last.
     // `metaLazy` is by-name: evaluated only after the data writes, so it can
     // read Observation metrics collected during the frontier write.
@@ -85,7 +92,8 @@ final class SnapshotStore(val baseDir: String, spark: SparkSession) {
       val writes =
         Future(frontier.write.mode("overwrite").parquet(dir(v, "frontier"))) ::
           Future(hosts.write.mode("overwrite").parquet(dir(v, "hosts"))) ::
-          results.map(r => Future(r.write.mode("overwrite").parquet(resultsDir(v)))).toList
+          results.map(r => Future(r.write.mode("overwrite").parquet(resultsDir(v)))).toList :::
+          concurrent.map(u => Future(u())).toList
       Await.result(Future.sequence(writes), Duration.Inf)
     }
     val json = SnapshotStore.writeFlat(
@@ -253,12 +261,13 @@ object SnapshotStore {
     b.toString
   }
 
-  /** Shared daemon pool for concurrent commit writes: 3 threads covers the
-    * frontier/hosts/results triple; Spark's scheduler interleaves the
-    * resulting jobs across free executor slots. */
+  /** Shared daemon pool for concurrent commit writes: 4 threads covers the
+    * frontier/hosts/results triple plus one caller-supplied unit (the seen-
+    * shard write); Spark's scheduler interleaves the resulting jobs across
+    * free executor slots. */
   private[frontier] lazy val commitEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
         val t = new Thread(r, "graft-snapshot-commit")
         t.setDaemon(true)
         t

@@ -373,11 +373,13 @@ object CrawlEngine {
     * range (tiny collect), then rank = partition offset + local row_number.
     * Exact for any partition boundaries because `order` is a total order
     * (unique id tiebreak), so crawl-order parity is preserved bit-for-bit.
-    * Returns (result, cacheHandle); callers unpersist the handle when the
-    * round is done.
+    * Returns (result, cacheHandle, totalRows); callers unpersist the handle
+    * when the round is done. `totalRows` is the exact input cardinality —
+    * free from the per-range counts, and it lets callers skip a separate
+    * count job (one fewer serial driver barrier per round).
     */
   def withGlobalSeq(df: DataFrame, order: Seq[Column], parts: Int,
-                    seqCol: String): (DataFrame, DataFrame) = {
+                    seqCol: String): (DataFrame, DataFrame, Long) = {
     val ranged = df.repartitionByRange(math.max(parts, 1), order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
@@ -393,7 +395,7 @@ object CrawlEngine {
           lit(offsetByPid.values.toArray)),
         col("__pid")), lit(0L))
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    (ranged.withColumn(seqCol, (offExpr + row_number().over(w)).cast("long")), ranged)
+    (ranged.withColumn(seqCol, (offExpr + row_number().over(w)).cast("long")), ranged, acc)
   }
 
   /** One crawl round (§3.1 rebuild): gate → rank → cut → fetch-join →
@@ -486,7 +488,21 @@ object CrawlEngine {
     // R2 global cut via distributed exact rank (no driver merge, no
     // single-partition sort), then keep the ≤ roundBudget head.
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val (ranked, rankedCache) = withGlobalSeq(perHost, FetchOrder, parts, "seqL")
+    val (ranked, rankedCache, eligibleTotal) = withGlobalSeq(perHost, FetchOrder, parts, "seqL")
+    // the round's lease size is known EXACTLY here: ranks are 1..total and
+    // the cut keeps seqL ≤ roundBudget, so selected = min(total, budget).
+    // Deriving it from the rank counts (instead of a fetched.count() after
+    // the fetch join) removes the one serial barrier between ranking and
+    // the round's write jobs — the fetch join now materializes inside the
+    // link-discovery/commit jobs it feeds, and an empty round exits before
+    // the fetch join is even built.
+    val selectedCount = math.min(eligibleTotal, cfg.roundBudget.toLong)
+    if (selectedCount == 0) {
+      // the nothing-eligible path repeats on politeness tick jumps — it
+      // must release the rank cache or each empty round pins it
+      rankedCache.unpersist(blocking = true)
+      return None
+    }
     val selected = ranked
       .filter(col("seqL") <= cfg.roundBudget)
       .withColumn("seq", col("seqL").cast("int"))
@@ -535,15 +551,6 @@ object CrawlEngine {
     val fetchedCols = Seq("id", "seq", "urlNorm", "host", "projectId",
       "outcome", "parsed") ++ (if (hooks.rawSinks.nonEmpty) Seq("htmlStr") else Nil)
     val fetched = fetchedWide.select(fetchedCols.map(col): _*).persist()
-
-    val selectedCount = timed("fetch-join+classify")(fetched.count())
-    if (selectedCount == 0) {
-      // the nothing-eligible path repeats on politeness tick jumps — it must
-      // release BOTH caches or each empty round pins a frontier-sized cache
-      fetched.unpersist(blocking = true)
-      rankedCache.unpersist(blocking = true)
-      return None
-    }
 
     // fetch records (the crawl-order contract surface). The D1 per-outcome
     // report rides the results write as an Observation and lands in the
@@ -624,7 +631,7 @@ object CrawlEngine {
     }
     // id assignment in exact (seq, pos) discovery order — distributed rank,
     // same mechanism as the R2 cut
-    val (newRanked, newRankedCache) =
+    val (newRanked, newRankedCache, _) =
       withGlobalSeq(newLinks, Seq(col("seq"), col("pos")), parts, "idx")
     // robots verdict via a left join on the per-host rules Dataset (never a
     // driver map): new links per round × tiny-or-sharded rules — AQE
@@ -787,7 +794,12 @@ object CrawlEngine {
       .getOrElse(cfg.seenExpectedPerShard)
     var seenSaturation: Option[(Long, Double)] = None
     var seenCapacityOut = effCapacity
-    seenShards.foreach { shardsDf =>
+    // the seen-shard update runs as a CONCURRENT commit unit (passed to
+    // store.commit below): its cogroup job overlaps the frontier/hosts/
+    // results writes instead of serializing in front of them, and the
+    // manifest still seals only after it completes (Await gives the
+    // happens-before edge for the saturation vars the metaLazy reads).
+    val seenWriteUnit: Option[() => Unit] = seenShards.map { shardsDf => () =>
       val newKeys = discovered.select("urlNorm")
       val seen2 =
         if (seenDelta) // touched shards only; merge-on-read fills the rest
@@ -875,7 +887,7 @@ object CrawlEngine {
           Map("seenMaxShardInserts" -> ins.toString,
             "seenFillRatio" -> f"$ratio%.4f")
         } ++ resourceMeta ++ outcomeCounts
-    }))
+    }, concurrent = seenWriteUnit.toSeq))
     val newLinkCount = obsLong("newLinks", 0L)
     // full commit: the observation saw the whole frontier. Delta commit:
     // it saw only touched rows — every selected row left the wait pool and
